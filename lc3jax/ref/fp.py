@@ -59,6 +59,24 @@ fabsf = _unary_f32("fabsf")
 powf = _binary_f32("powf")
 
 
+def seq_sum(arr) -> np.float32:
+    """Left-to-right sequential f32 sum (Rust `iter().sum::<f32>()` order).
+
+    np.sum uses pairwise summation which rounds differently; np.cumsum
+    accumulates strictly sequentially, so its last element reproduces the
+    reference's fold order bit-exactly.
+    """
+    arr = np.asarray(arr, dtype=F32)
+    if arr.size == 0:
+        return F32(0.0)
+    return np.cumsum(arr)[-1]
+
+
+def seq_dot(a, b) -> np.float32:
+    """Sequential f32 dot product: sum of elementwise products in order."""
+    return seq_sum(np.asarray(a, dtype=F32) * np.asarray(b, dtype=F32))
+
+
 _EXP2_C0 = F32(1.0017247)
 _EXP2_C1 = F32(0.65763628)
 _EXP2_C2 = F32(0.33718944)
