@@ -1,0 +1,110 @@
+"""Host-side batched bitstream parse/pack bridging frames <-> device tensors.
+
+`parse_frames` turns a batch of encoded frames into the fixed-shape integer
+arrays consumed by lc3jax.dsp.decoder (ParsedFrames); corrupt frames are
+flagged for on-device PLC rather than raising. MPVQ de-enumeration happens
+here (integer-only, part of the bitstream domain).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import FrameDuration, Lc3Config
+from ..dsp.decoder import ParsedFrames
+from ..ref import decoder_stages as stages
+from ..ref.arithmetic import ArithmeticDecodeError, decode as arith_decode
+from ..ref.bitstream import BitstreamError, BufferReader
+from ..ref.side_info import SideInfoError, read_side_info
+
+
+def parse_frames(cfg: Lc3Config, payloads: list[bytes]) -> ParsedFrames:
+    """Parse a batch of per-stream frames into device-ready arrays."""
+    S = len(payloads)
+    ne = cfg.ne
+    x_int = np.zeros((S, ne), np.int32)
+    lsb_mode = np.zeros(S, bool)
+    gg_ind = np.zeros(S, np.int32)
+    rc_order = np.zeros((S, 2), np.int32)
+    rc_i = np.zeros((S, 16), np.int32)
+    bandwidth = np.zeros(S, np.int32)
+    noise_factor = np.zeros(S, np.int32)
+    nf_seed = np.zeros(S, np.int32)
+    zero_frame = np.zeros(S, bool)
+    residual_bits = np.zeros((S, ne), bool)
+    n_residual = np.zeros(S, np.int32)
+    sns_y = np.zeros((S, 16), np.int32)
+    sns_shape = np.zeros(S, np.int32)
+    sns_gind = np.zeros(S, np.int32)
+    sns_ind_lf = np.zeros(S, np.int32)
+    sns_ind_hf = np.zeros(S, np.int32)
+    ltpf_active = np.zeros(S, bool)
+    pitch_index = np.zeros(S, np.int32)
+    bad_frame = np.zeros(S, bool)
+
+    for s, buf in enumerate(payloads):
+        try:
+            reader = BufferReader()
+            side = read_side_info(buf, reader, cfg.fs_ind, ne)
+            x = [0] * ne
+            arith = arith_decode(
+                buf, reader, cfg.fs_ind, ne, side,
+                cfg.n_ms == FrameDuration.MS7P5, x,
+            )
+        except (SideInfoError, ArithmeticDecodeError, BitstreamError):
+            bad_frame[s] = True
+            continue
+
+        x_int[s] = x
+        lsb_mode[s] = side.lsb_mode
+        gg_ind[s] = side.global_gain_index
+        rc_order[s] = arith.reflect_coef_order
+        rc_i[s] = arith.reflect_coef_ints
+        bandwidth[s] = side.bandwidth
+        noise_factor[s] = side.noise_factor
+        nf_seed[s] = arith.noise_filling_seed
+        zero_frame[s] = arith.is_zero_frame
+        nres = len(arith.residual_bits)
+        residual_bits[s, :nres] = arith.residual_bits
+        n_residual[s] = nres
+
+        sns = side.sns_vq
+        shape_j = (sns.submode_msb << 1) + sns.submode_lsb
+        if shape_j == 0:
+            y = stages.mpvq_deenum(10, 10, sns.ls_inda, sns.idx_a) + [0] * 6
+            y[10:16] = stages.mpvq_deenum(6, 1, sns.ls_indb, sns.idx_b)[:6]
+        elif shape_j == 1:
+            y = stages.mpvq_deenum(10, 10, sns.ls_inda, sns.idx_a) + [0] * 6
+        elif shape_j == 2:
+            y = stages.mpvq_deenum(16, 8, sns.ls_inda, sns.idx_a)
+        else:
+            y = stages.mpvq_deenum(16, 6, sns.ls_inda, sns.idx_a)
+        sns_y[s] = y
+        sns_shape[s] = shape_j
+        sns_gind[s] = sns.g_ind
+        sns_ind_lf[s] = sns.ind_lf
+        sns_ind_hf[s] = sns.ind_hf
+        ltpf_active[s] = side.ltpf.is_active
+        pitch_index[s] = side.ltpf.pitch_index
+
+    return ParsedFrames(
+        x_int=x_int,
+        lsb_mode=lsb_mode,
+        gg_ind=gg_ind,
+        rc_order=rc_order,
+        rc_i=rc_i,
+        bandwidth=bandwidth,
+        noise_factor=noise_factor,
+        nf_seed=nf_seed,
+        zero_frame=zero_frame,
+        residual_bits=residual_bits,
+        n_residual=n_residual,
+        sns_y=sns_y,
+        sns_shape=sns_shape,
+        sns_gind=sns_gind,
+        sns_ind_lf=sns_ind_lf,
+        sns_ind_hf=sns_ind_hf,
+        ltpf_active=ltpf_active,
+        pitch_index=pitch_index,
+        bad_frame=bad_frame,
+    )

@@ -1,12 +1,17 @@
 import os
 
 # Multi-chip sharding tests run on a virtual 8-device CPU mesh; the real-TPU
-# benchmark path is exercised separately by bench.py.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+# benchmark path is exercised separately by bench.py. The environment exports
+# JAX_PLATFORMS=axon (single remote TPU via tunnel) which would make every
+# test dispatch over RPC — force CPU before jax initialises.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 from pathlib import Path
 
