@@ -108,3 +108,58 @@ def parse_frames(cfg: Lc3Config, payloads: list[bytes]) -> ParsedFrames:
         pitch_index=pitch_index,
         bad_frame=bad_frame,
     )
+
+
+def pack_frames(cfg: Lc3Config, fields: dict, nbytes: int) -> list[bytes]:
+    """Pack device-produced encoder fields into LC3 frames (range coder).
+
+    `fields` is the dict returned by lc3jax.dsp.encoder.encode_step, with
+    arrays already fetched to host.
+    """
+    from types import SimpleNamespace as NS
+
+    from ..ref.bitstream_enc import BitstreamEncoder
+
+    f = {k: np.asarray(v) for k, v in fields.items()}
+    S = f["x_q"].shape[0]
+    out = []
+    be = BitstreamEncoder(cfg.ne)
+    for s in range(S):
+        sns = NS(
+            ind_lf=int(f["sns_ind_lf"][s]), ind_hf=int(f["sns_ind_hf"][s]),
+            shape_j=int(f["sns_shape_j"][s]), gind=int(f["sns_gind"][s]),
+            ls_inda=int(f["sns_ls_inda"][s]), ls_indb=int(f["sns_ls_indb"][s]),
+            index_joint_j=int(f["sns_index_joint_j"][s]),
+        )
+        tns = NS(
+            num_tns_filters=int(f["tns_num_tns_filters"][s]),
+            rc_order=[int(v) for v in f["tns_rc_order"][s]],
+            rc_i=[int(v) for v in f["tns_rc_i"][s]],
+            lpc_weighting=int(f["tns_lpc_weighting"])
+            if np.ndim(f["tns_lpc_weighting"]) == 0
+            else int(f["tns_lpc_weighting"][s]),
+        )
+        ltpf = NS(
+            pitch_present=bool(f["ltpf_pitch_present"][s]),
+            ltpf_active=bool(f["ltpf_ltpf_active"][s]),
+            pitch_index=int(f["ltpf_pitch_index"][s]),
+        )
+        spec = NS(
+            lastnz_trunc=int(f["quant_lastnz_trunc"][s]),
+            lsb_mode=bool(f["quant_lsb_mode"][s]),
+            gg_ind=int(f["quant_gg_ind"][s]),
+            rate_flag=int(f["quant_rate_flag"])
+            if np.ndim(f["quant_rate_flag"]) == 0
+            else int(f["quant_rate_flag"][s]),
+            nbits_lsb=int(f["quant_nbits_lsb"][s]),
+        )
+        nres = int(f["n_residual"][s])
+        res_bits = [bool(b) for b in f["residual_bits"][s][:nres]]
+        out.append(
+            be.encode(
+                int(f["bandwidth"][s]), int(f["nbits_bw"]), sns, tns, ltpf, spec,
+                res_bits, int(f["noise_factor"][s]),
+                f["x_q"][s].astype(np.int16), nbytes,
+            )
+        )
+    return out

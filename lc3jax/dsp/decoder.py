@@ -127,10 +127,19 @@ def global_gain(p: DecoderParams, x, gg_ind, nbits: int):
     # gg_ind has 256 possible values and gg_off is static: bake an exact
     # 10^((i+off)/28) table at trace time instead of a device pow (TPU pow
     # is an approximation; a gather is both exact and faster)
+    from ..ref import fp as _fp
+
     fs = p.cfg.fs_ind + 1
     gg_off = -min(nbits // (10 * fs), 115) - 105 - 5 * fs
-    table = np.float32(
-        np.power(10.0, (np.arange(256, dtype=np.float64) + gg_off) / 28.0)
+    table = np.array(
+        [
+            _fp.powf(
+                np.float32(10.0),
+                np.float32(np.float32(i) + np.float32(gg_off)) / np.float32(28.0),
+            )
+            for i in range(256)
+        ],
+        dtype=np.float32,
     )
     gg = jnp.asarray(table)[gg_ind]
     return x * gg[:, None]

@@ -1,0 +1,1103 @@
+"""Batched TPU encoder: analysis chain from PCM to bitstream fields.
+
+One fused XLA program per (config, bitrate) encoding [S] streams per step.
+The per-frame DSP (reference encoder/lc3_encoder.rs:63-112 stage order) is
+recast batch-first:
+
+- forward MDCT: window fold + dense DCT-IV matmul (MXU) + band-energy matmul
+- bandwidth/attack detectors: static-slice reductions + masked selects
+- SNS analysis: 6-tap grouping as a [64,16] matmul, two-stage VQ with the
+  greedy PVQ pyramid as fixed-trip masked argmax loops, device MPVQ
+  enumeration
+- TNS: masked autocorrelations, unrolled Levinson-Durbin, lattice analysis
+  scan
+- spectral quantization: 8-step gain bisection (vectorised over energies),
+  bit-consumption model as a lax.scan over tuples with table gathers
+- LTPF pitch analysis lives in encoder_ltpf.py
+
+The outputs are the integer bitstream fields; the range coder packs them on
+host (lc3jax/coding).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables as T
+from ..config import FrameDuration, Lc3Config
+from .encoder_ltpf import LtpfEncState, ltpf_analysis, ltpf_enc_init
+from .params import dct_iv_matrix
+
+F32 = jnp.float32
+
+# ------------------------------------------------------------------ params
+
+
+@dataclass(frozen=True)
+class EncoderParams:
+    cfg: Lc3Config
+    dct: np.ndarray
+    window: np.ndarray
+    mdct_gain: np.float32
+    energy_mat: np.ndarray  # [ne, nb] 1/width indicators
+    nn_split: int  # near-nyquist band split
+    preemph: np.ndarray  # [64]
+    group_mat: np.ndarray  # [64, 16] 6-tap grouping weights
+    band_of_line: np.ndarray
+    bw_start: np.ndarray  # [4]
+    bw_stop: np.ndarray
+    bw_l: np.ndarray
+    tns_bounds: np.ndarray  # [5,2,2]
+    tns_sub: np.ndarray  # [5,2,3,2] sub-block (start,stop)
+    nf_bw_stop: np.ndarray  # [5] noise-level stop
+    nf_start: int
+    nf_width: int
+    attack_blocks: int
+    attack_pos_limit: int
+    num_downsampled: int
+
+
+@lru_cache(maxsize=None)
+def encoder_params(cfg: Lc3Config) -> EncoderParams:
+    idx = T.band_indices(cfg)
+    emat = np.zeros((cfg.ne, cfg.nb), dtype=np.float32)
+    bol = np.zeros(cfg.ne, dtype=np.int32)
+    for b in range(cfg.nb):
+        emat[idx[b] : idx[b + 1], b] = 1.0 / (idx[b + 1] - idx[b])
+        bol[idx[b] : idx[b + 1]] = b
+
+    # pre-emphasis with the reference's exact f32 powf semantics
+    from ..ref import fp as _fp
+
+    g_tilt = [14, 18, 22, 26, 30][cfg.fs_ind]
+    _exp = np.float32(g_tilt) / np.float32(630.0)
+    preemph = np.array(
+        [_fp.powf(np.float32(10.0), np.float32(b) * _exp) for b in range(64)],
+        dtype=np.float32,
+    )
+
+    gmat = np.zeros((64, 16), dtype=np.float32)
+    w6 = np.array([1, 2, 3, 3, 2, 1], dtype=np.float64) / 12.0
+    gmat[0, 0] += w6[0]
+    for k in range(1, 6):
+        gmat[k - 1, 0] += w6[k]
+    for b2 in range(1, 15):
+        for k in range(6):
+            gmat[4 * b2 - 1 + k, b2] += w6[k]
+    gmat[63, 15] += w6[5]
+    for k in range(5):
+        gmat[60 + k - 1, 15] += w6[k]
+
+    if cfg.n_ms == FrameDuration.MS10:
+        bw_start = np.array([[53, 0, 0, 0], [47, 59, 0, 0], [44, 54, 60, 0], [41, 51, 57, 61]])
+        bw_stop = np.array([[63, 0, 0, 0], [56, 63, 0, 0], [52, 59, 63, 0], [49, 55, 60, 63]])
+        bw_l = np.array([4, 4, 3, 1])
+        nn_split = cfg.nb - 2
+        tns_bounds = np.array(
+            [[[12, 80], [80, 80]], [[12, 160], [160, 160]], [[12, 240], [240, 240]],
+             [[12, 160], [160, 320]], [[12, 200], [200, 400]]]
+        )
+        tns_sub = np.array(
+            [
+                [[[12, 34], [34, 57], [57, 80]], [[0, 0], [0, 0], [0, 0]]],
+                [[[12, 61], [61, 110], [110, 160]], [[0, 0], [0, 0], [0, 0]]],
+                [[[12, 88], [88, 164], [164, 240]], [[0, 0], [0, 0], [0, 0]]],
+                [[[12, 61], [61, 110], [110, 160]], [[160, 213], [213, 266], [266, 320]]],
+                [[[12, 74], [74, 137], [137, 200]], [[200, 266], [266, 333], [333, 400]]],
+            ]
+        )
+        nf_bw_stop = np.array([80, 160, 240, 320, 400])
+        nf_start, nf_width = 24, 3
+        attack_blocks, attack_lim, num_ds = 4, 2, 160
+    else:
+        bw_start = np.array([[51, 0, 0, 0], [45, 58, 0, 0], [42, 53, 60, 0], [40, 51, 57, 61]])
+        bw_stop = np.array([[63, 0, 0, 0], [55, 63, 0, 0], [51, 58, 63, 0], [48, 55, 60, 63]])
+        bw_l = np.array([4, 4, 3, 2])
+        nn_split = cfg.nb - 4
+        tns_bounds = np.array(
+            [[[9, 60], [60, 60]], [[9, 120], [120, 120]], [[9, 180], [180, 180]],
+             [[9, 120], [120, 240]], [[9, 150], [150, 300]]]
+        )
+        tns_sub = np.array(
+            [
+                [[[9, 26], [26, 43], [43, 60]], [[0, 0], [0, 0], [0, 0]]],
+                [[[9, 46], [46, 83], [83, 120]], [[0, 0], [0, 0], [0, 0]]],
+                [[[9, 66], [66, 123], [123, 180]], [[0, 0], [0, 0], [0, 0]]],
+                [[[9, 46], [46, 82], [82, 120]], [[120, 159], [159, 200], [200, 240]]],
+                [[[9, 56], [56, 103], [103, 150]], [[150, 200], [200, 250], [250, 300]]],
+            ]
+        )
+        nf_bw_stop = np.array([60, 120, 180, 240, 300])
+        nf_start, nf_width = 18, 2
+        attack_blocks, attack_lim, num_ds = 3, 1, 120
+
+    return EncoderParams(
+        cfg=cfg,
+        dct=dct_iv_matrix(cfg.nf),
+        window=T.mdct_window(cfg).copy(),
+        mdct_gain=np.float32(1.0 / np.sqrt(2.0 * cfg.nf)),
+        energy_mat=emat,
+        nn_split=nn_split,
+        preemph=preemph,
+        group_mat=gmat.astype(np.float32),
+        band_of_line=bol,
+        bw_start=bw_start[cfg.fs_ind - 1] if cfg.fs_ind > 0 else np.zeros(4, int),
+        bw_stop=bw_stop[cfg.fs_ind - 1] if cfg.fs_ind > 0 else np.zeros(4, int),
+        bw_l=bw_l,
+        tns_bounds=tns_bounds,
+        tns_sub=tns_sub,
+        nf_bw_stop=nf_bw_stop,
+        nf_start=nf_start,
+        nf_width=nf_width,
+        attack_blocks=attack_blocks,
+        attack_pos_limit=attack_lim,
+        num_downsampled=num_ds,
+    )
+
+
+# ------------------------------------------------------------------- state
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class EncoderState:
+    time_buf: jax.Array  # f32 [S, 2nf] MDCT history
+    att_energy_last: jax.Array  # [S]
+    att_max_energy_last: jax.Array  # [S]
+    att_pos_last: jax.Array  # int32 [S]
+    att_tm1: jax.Array  # [S]
+    att_tm2: jax.Array  # [S]
+    quant_reset_offset: jax.Array  # bool [S]
+    quant_nbits_offset: jax.Array  # f32 [S]
+    quant_nbits_spec: jax.Array  # int32 [S]
+    quant_nbits_est: jax.Array  # int32 [S]
+    ltpf: LtpfEncState
+
+
+def encoder_init(cfg: Lc3Config, n_streams: int) -> EncoderState:
+    return EncoderState(
+        time_buf=jnp.zeros((n_streams, 2 * cfg.nf), F32),
+        att_energy_last=jnp.zeros((n_streams,), F32),
+        att_max_energy_last=jnp.zeros((n_streams,), F32),
+        att_pos_last=jnp.full((n_streams,), -1, jnp.int32),
+        att_tm1=jnp.zeros((n_streams,), F32),
+        att_tm2=jnp.zeros((n_streams,), F32),
+        quant_reset_offset=jnp.zeros((n_streams,), bool),
+        quant_nbits_offset=jnp.zeros((n_streams,), F32),
+        quant_nbits_spec=jnp.zeros((n_streams,), jnp.int32),
+        quant_nbits_est=jnp.zeros((n_streams,), jnp.int32),
+        ltpf=ltpf_enc_init(cfg, n_streams),
+    )
+
+
+# ------------------------------------------------------------------- stages
+
+
+def forward_mdct(p: EncoderParams, time_buf, x_s):
+    """Window fold + DCT-IV matmul + band energies + near-Nyquist flag."""
+    nf, z = p.cfg.nf, p.cfg.z
+    half = nf // 2
+    mid = 3 * half
+    new_buf = jnp.concatenate(
+        [time_buf[:, nf : 2 * nf - z], x_s.astype(F32), jnp.zeros_like(x_s[:, :z], F32)],
+        axis=1,
+    )
+    w = jnp.asarray(p.window)
+    t1 = new_buf[:, mid - half : mid][:, ::-1]
+    w1 = w[mid - half : mid][::-1]
+    t2 = new_buf[:, mid : mid + half]
+    w2 = w[mid : mid + half]
+    first = (-(t1 * w1)) - (t2 * w2)
+    t1 = new_buf[:, :half]
+    w1 = w[:half]
+    t2 = new_buf[:, half:nf][:, ::-1]
+    w2 = w[half:nf][::-1]
+    second = (t1 * w1) - (t2 * w2)
+    folded = jnp.concatenate([first, second], axis=1)
+    spec = jnp.einsum(
+        "sn,nk->sk", folded, jnp.asarray(p.dct),
+        preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST,
+    )
+    spec = spec * p.mdct_gain
+
+    x = spec[:, : p.cfg.ne]
+    energy = jnp.einsum(
+        "sn,nb->sb", x * x, jnp.asarray(p.energy_mat),
+        preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST,
+    )
+    if p.cfg.fs <= 32000:
+        lower = jnp.sum(energy[:, : p.nn_split], axis=1)
+        upper = jnp.sum(energy[:, p.nn_split :], axis=1)
+        nn = upper > F32(30.0) * lower
+    else:
+        nn = jnp.zeros(x.shape[0], bool)
+    return new_buf, x, energy, nn
+
+
+def bandwidth_detect(p: EncoderParams, e_b):
+    """Two-stage band-limit detector (bandwidth_detector.rs:64-127)."""
+    fs_ind = p.cfg.fs_ind
+    nbits = [0, 1, 2, 2, 3][fs_ind]
+    S = e_b.shape[0]
+    if fs_ind == 0:
+        return jnp.zeros(S, jnp.int32), nbits
+
+    # stage 1: highest non-quiet candidate
+    bw_ind = jnp.zeros(S, jnp.int32)
+    found = jnp.zeros(S, bool)
+    thresh = [20.0, 10.0, 10.0, 10.0]
+    for k in range(fs_ind - 1, -1, -1):
+        start, stop = int(p.bw_start[k]), int(p.bw_stop[k])
+        width = F32(stop + 1 - start)
+        quiet = jnp.sum(e_b[:, start : stop + 1] / width, axis=1)
+        hit = (quiet >= F32(thresh[k])) & ~found
+        bw_ind = jnp.where(hit, k + 1, bw_ind)
+        found = found | hit
+
+    # stage 2: cutoff drop check, computed for every candidate then selected
+    cut_thresh = jnp.asarray([15.0, 23.0, 20.0, 20.0], F32)
+    final = jnp.full(S, fs_ind, jnp.int32)
+    for cand in range(fs_ind):
+        l_bw = int(p.bw_l[cand])
+        frm = int(p.bw_start[cand]) + 1 - l_bw
+        to = int(p.bw_start[cand])
+        if frm >= to:
+            cutoff_max = jnp.zeros(S, F32)
+        else:
+            ratios = e_b[:, frm - l_bw : to - l_bw] / e_b[:, frm:to]
+            cutoff_max = jnp.max(
+                jnp.where(jnp.isnan(ratios), -jnp.inf, ratios), axis=1
+            )
+            cutoff_max = jnp.maximum(cutoff_max, F32(0.0))
+        keep = cutoff_max > cut_thresh[cand]
+        final = jnp.where((bw_ind == cand) & keep, cand, final)
+    final = jnp.where(bw_ind == fs_ind, fs_ind, final)
+    return final, nbits
+
+
+def attack_detect(p: EncoderParams, state: EncoderState, x_s, nbytes: int):
+    """Attack detector (attack_detector.rs:45-128); is_active is static."""
+    cfg = p.cfg
+    fs = cfg.fs
+    if cfg.n_ms == FrameDuration.MS7P5:
+        active = (fs == 32000 and 61 <= nbytes < 150) or (fs >= 44100 and 75 <= nbytes < 150)
+    else:
+        active = (fs == 32000 and nbytes > 80) or (fs >= 41000 and nbytes >= 100)
+    S = x_s.shape[0]
+    if not active:
+        zeros = jnp.zeros((S,), F32)
+        return jnp.zeros(S, bool), dict(
+            att_energy_last=zeros, att_max_energy_last=zeros,
+            att_pos_last=jnp.full((S,), -1, jnp.int32),
+            att_tm1=state.att_tm1, att_tm2=state.att_tm2,
+        )
+
+    nds = p.num_downsampled
+    block = cfg.nf // nds
+    ds = jnp.sum(x_s.astype(F32).reshape(S, nds, block), axis=2)
+    prev = jnp.concatenate([state.att_tm1[:, None], ds[:, :-1]], axis=1)
+    prev2 = jnp.concatenate([state.att_tm2[:, None], state.att_tm1[:, None], ds[:, :-2]], axis=1)
+    hp = F32(0.375) * ds - F32(0.5) * prev + F32(0.125) * prev2
+    blocks = jnp.sum((hp * hp).reshape(S, p.attack_blocks, 40), axis=2)
+
+    energy_last = state.att_energy_last
+    max_energy_last = state.att_max_energy_last
+    attack_pos = jnp.full((S,), -1, jnp.int32)
+    for n in range(p.attack_blocks):
+        energy = blocks[:, n]
+        max_energy = jnp.maximum(F32(0.25) * max_energy_last, energy_last)
+        attack_pos = jnp.where(energy > F32(8.5) * max_energy, n, attack_pos)
+        energy_last = energy
+        max_energy_last = max_energy
+    detected = (attack_pos >= 0) | (state.att_pos_last >= p.attack_pos_limit)
+    return detected, dict(
+        att_energy_last=energy_last, att_max_energy_last=max_energy_last,
+        att_pos_last=attack_pos, att_tm1=ds[:, -1], att_tm2=ds[:, -2],
+    )
+
+
+# ------------------------------------------------------------- SNS encoder
+
+_SNS_GAINS_PAD = np.zeros((4, 8), dtype=np.float32)
+_SNS_GAINS_N = [1, 3, 3, 7]  # searched gain count per shape (g_maxind_j)
+for _j, _g in enumerate(T.SNS_GAINS_BY_SHAPE):
+    _SNS_GAINS_PAD[_j, : len(_g)] = _g
+
+
+def sns_analysis(p: EncoderParams, x, e_b, attack):
+    """Full SNS analysis + two-stage VQ; returns (shaped x, bitstream fields)."""
+    S = x.shape[0]
+    nb = p.cfg.nb
+    diff = 64 - nb
+    if diff > 0:
+        head = jnp.repeat(e_b[:, :diff], 2, axis=1)
+        padded = jnp.concatenate([head, e_b[:, diff:]], axis=1)
+    else:
+        padded = e_b
+    sm = jnp.concatenate(
+        [
+            (F32(0.75) * padded[:, :1] + F32(0.25) * padded[:, 1:2]),
+            F32(0.25) * padded[:, :-2] + F32(0.5) * padded[:, 1:-1] + F32(0.25) * padded[:, 2:],
+            (F32(0.25) * padded[:, -2:-1] + F32(0.75) * padded[:, -1:]),
+        ],
+        axis=1,
+    )
+    sm = sm * jnp.asarray(p.preemph)[None, :]
+    total = jnp.cumsum(sm, axis=1)[:, -1:]  # sequential f32 fold
+    noise_floor = jnp.maximum(total / F32(64.0) * F32(1e-4), F32(2.0**-32))
+    sm = jnp.maximum(sm, noise_floor)
+    sm = jnp.log2(F32(np.finfo(np.float32).eps) + sm) / F32(2.0)
+
+    ds = jnp.einsum(
+        "sb,bk->sk", sm, jnp.asarray(p.group_mat),
+        preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST,
+    )
+    mean = jnp.cumsum(ds, axis=1)[:, -1:] / F32(16.0)
+    ds = F32(0.85) * (ds - mean)
+
+    # attack smoothing
+    pad = jnp.concatenate([ds[:, :1], ds[:, :1], ds, ds[:, -1:], ds[:, -1:]], axis=1)
+    win5 = (
+        pad[:, 0:16] + pad[:, 1:17] + pad[:, 2:18] + pad[:, 3:19] + pad[:, 4:20]
+    ) / F32(5.0)
+    att = win5
+    att = att.at[:, 0].set((ds[:, 0] + ds[:, 1] + ds[:, 2]) / F32(3.0))
+    att = att.at[:, 1].set((ds[:, 0] + ds[:, 1] + ds[:, 2] + ds[:, 3]) / F32(4.0))
+    att = att.at[:, 14].set((ds[:, 12] + ds[:, 13] + ds[:, 14] + ds[:, 15]) / F32(4.0))
+    att = att.at[:, 15].set((ds[:, 13] + ds[:, 14] + ds[:, 15]) / F32(3.0))
+    atten = F32(0.5) if p.cfg.n_ms == FrameDuration.MS10 else F32(0.3)
+    att = atten * (att - jnp.mean(att, axis=1, keepdims=True))
+    scf = jnp.where(attack[:, None], att, ds)
+
+    # ---- stage 1: codebook MSE search
+    lf = jnp.asarray(T.LFCB)  # [32,8]
+    hf = jnp.asarray(T.HFCB)
+    # cumsum = the reference's sequential f32 accumulation order
+    d_lf = jnp.cumsum((scf[:, None, :8] - lf[None, :, :]) ** 2, axis=2)[:, :, -1]
+    d_hf = jnp.cumsum((scf[:, None, 8:] - hf[None, :, :]) ** 2, axis=2)[:, :, -1]
+    ind_lf = jnp.argmin(d_lf, axis=1)
+    ind_hf = jnp.argmin(d_hf, axis=1)
+    st1 = jnp.concatenate([lf[ind_lf], hf[ind_hf]], axis=1)
+    r1 = scf - st1
+
+    # ---- stage 2: rotate, PVQ pyramid, shape/gain select, enumerate
+    d = jnp.asarray(T.DCT16)
+    t2rot = jnp.einsum(
+        "sr,rn->sn", r1, d, preferred_element_type=F32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    abs_x = jnp.abs(t2rot)
+    abs_sum = jnp.sum(abs_x, axis=1, keepdims=True)
+    proj = (F32(6.0) - F32(1.0)) / abs_sum
+    y3 = jnp.floor(abs_x * proj).astype(jnp.int32)
+    k0 = jnp.sum(y3, axis=1)
+    corr = jnp.sum(y3.astype(F32) * abs_x, axis=1)
+    energy = jnp.sum((y3 * y3).astype(F32), axis=1)
+
+    def greedy_round(y, corr_l, energy_l, corr_art, energy_art, need, n_active):
+        """One greedy pulse: cross-multiplied comparison scanned lane by lane
+        with the reference's exact f32 products and tie-breaking
+        (spectral_noise_shaping.rs:285-316). Also threads the reference's
+        scan-artifact accumulators (the &mut outputs)."""
+        cand_corr = corr_l[:, None] + abs_x  # [S,16]
+        cand_sq = cand_corr * cand_corr
+        cand_en = energy_l[:, None] + F32(2.0) * y.astype(F32) + F32(1.0)
+        n_best = jnp.zeros(S, jnp.int32)
+        best_sq = cand_sq[:, 0]
+        best_en = cand_en[:, 0]
+        for lane in range(1, 16):
+            in_set = lane < n_active if np.ndim(n_active) == 0 else lane < n_active
+            better = (cand_sq[:, lane] * best_en > best_sq * cand_en[:, lane]) & in_set
+            n_best = jnp.where(better, lane, n_best)
+            best_sq = jnp.where(better, cand_sq[:, lane], best_sq)
+            best_en = jnp.where(better, cand_en[:, lane], best_en)
+        take = lambda a: jnp.take_along_axis(a, n_best[:, None], 1)[:, 0]
+        new_corr = jnp.where(need, corr_l + take(abs_x), corr_l)
+        new_energy = jnp.where(
+            need, energy_l + F32(2.0) * take(y).astype(F32) + F32(1.0), energy_l
+        )
+        # artifacts: last inner-scan assignment (lane n_active-1, pre-update y)
+        last = (n_active - 1) if np.ndim(n_active) == 0 else n_active - 1
+        corr_art = jnp.where(need, cand_corr[:, last], corr_art)
+        energy_art = jnp.where(need, cand_en[:, last], energy_art)
+        y = jnp.where(need[:, None] & (jnp.arange(16)[None, :] == n_best[:, None]), y + 1, y)
+        return y, new_corr, new_energy, corr_art, energy_art
+
+    # shape 3: add pulses to K=6; accumulators start from the projection
+    corr_l, energy_l = corr, energy
+    corr_art, energy_art = corr, energy
+    count = k0
+    for _ in range(6):
+        need = count < 6
+        y3, corr_l, energy_l, corr_art, energy_art = greedy_round(
+            y3, corr_l, energy_l, corr_art, energy_art, need, 16
+        )
+        count = jnp.where(need, count + 1, count)
+
+    # shape 2: two more pulses; the reference seeds the accumulators with the
+    # previous call's artifact values
+    y2 = y3
+    corr_l, energy_l = corr_art, energy_art
+    for _ in range(2):
+        y2, corr_l, energy_l, corr_art, energy_art = greedy_round(
+            y2, corr_l, energy_l, corr_art, energy_art, jnp.ones(S, bool), 16
+        )
+
+    # shape 1: strip set B (artifact accumulators minus set-B terms), re-add
+    # pulses in set A up to K=10
+    setb = jnp.arange(16)[None, :] >= 10
+    y1 = jnp.where(setb, 0, y2)
+    k1 = 8 - jnp.sum(jnp.where(setb, y2, 0), axis=1)
+    corr_l = corr_art
+    energy_l = energy_art
+    for lane in range(10, 16):
+        nz = y2[:, lane] != 0
+        corr_l = jnp.where(nz, corr_l - y2[:, lane].astype(F32) * abs_x[:, lane], corr_l)
+        energy_l = jnp.where(
+            nz, energy_l - y2[:, lane].astype(F32) * y2[:, lane].astype(F32), energy_l
+        )
+    count = k1
+    for _ in range(10):
+        need = count < 10
+        y1, corr_l, energy_l, corr_art, energy_art = greedy_round(
+            y1, corr_l, energy_l, corr_art, energy_art, need, 10
+        )
+        count = jnp.where(need, count + 1, count)
+
+    # shape 0: y1 + one pulse at argmax|x| in set B
+    b_abs = jnp.where(setb, abs_x, -jnp.inf)
+    nb_best = jnp.argmax(b_abs, axis=1)
+    y0 = jnp.where(jnp.arange(16)[None, :] == nb_best[:, None], 1, y1)
+
+    sign = jnp.where(t2rot < 0.0, -1, 1)
+    y0s = y0 * sign
+    y1s = y1 * sign
+    y2s = y2 * sign
+    y3s = y3 * sign
+
+    def normalize(y, n_active):
+        lane_ok = jnp.arange(16)[None, :] < n_active
+        yf = jnp.where(lane_ok, y, 0).astype(F32)
+        norm = jnp.sqrt(jnp.sum(yf * yf, axis=1, keepdims=True))
+        return jnp.where(yf != 0.0, yf / norm, yf)
+
+    xq = jnp.stack(
+        [normalize(y0s, 16), normalize(y1s, 10), normalize(y2s, 16), normalize(y3s, 16)],
+        axis=1,
+    )  # [S,4,16]
+
+    gains = jnp.asarray(_SNS_GAINS_PAD)  # [4,8]
+    diff_t = t2rot[:, None, None, :] - gains[None, :, :, None] * xq[:, :, None, :]
+    mse = jnp.cumsum(diff_t * diff_t, axis=3)[:, :, :, -1]  # [S,4,8] seq fold
+    gain_valid = np.zeros((4, 8), dtype=bool)
+    for j, n in enumerate(_SNS_GAINS_N):
+        gain_valid[j, :n] = True
+    mse = jnp.where(jnp.asarray(gain_valid)[None], mse, jnp.inf)
+    flat = mse.reshape(S, 32)
+    best = jnp.argmin(flat, axis=1)
+    shape_j = (best // 8).astype(jnp.int32)
+    gind = (best % 8).astype(jnp.int32)
+    g_sel = gains[shape_j, gind]
+    xq_sel = jnp.take_along_axis(xq, shape_j[:, None, None], axis=1)[:, 0]  # [S,16]
+    y_sel = jnp.stack([y0s, y1s, y2s, y3s], axis=1)
+    y_sel = jnp.take_along_axis(y_sel, shape_j[:, None, None], axis=1)[:, 0]
+
+    # MPVQ enumeration on device (int32; indices < 2^25)
+    idxa, ls_inda = _mpvq_enum_batch(jnp.where(shape_j[:, None] >= 2, y_sel, jnp.where(jnp.arange(16)[None,:] < 10, y_sel, 0)),
+                                     jnp.where(shape_j >= 2, 16, 10))
+    idxb, ls_indb = _mpvq_enum_batch(
+        jnp.concatenate([y0s[:, 10:], jnp.zeros((S, 10), jnp.int32)], axis=1),
+        jnp.full(S, 6, jnp.int32),
+    )
+    lsb_gain = gind & 1
+    SZ_A = 2390004
+    joint0 = (2 * idxb + ls_indb + 2) * SZ_A + idxa
+    joint1 = lsb_gain * SZ_A + idxa
+    joint2 = idxa
+    joint3 = 15158272 + lsb_gain + 2 * idxa
+    index_joint = jnp.select(
+        [shape_j == 0, shape_j == 1, shape_j == 2, shape_j == 3],
+        [joint0, joint1, joint2, joint3],
+    )
+    ls_indb = jnp.where(shape_j == 0, ls_indb, 0)
+
+    # synthesis + interpolation + spectral shaping
+    scfq = st1 + g_sel[:, None] * jnp.einsum(
+        "sk,nk->sn", xq_sel, d, preferred_element_type=F32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    n0 = scfq[:, :-1]
+    dd = scfq[:, 1:] - n0
+    w4 = jnp.asarray([0.125, 0.375, 0.625, 0.875], F32)
+    mids = n0[:, :, None] + w4[None, None, :] * dd[:, :, None]
+    last_d = scfq[:, 15] - scfq[:, 14]
+    interp = jnp.concatenate(
+        [scfq[:, :1], scfq[:, :1], mids.reshape(S, 60),
+         (scfq[:, 15] + F32(0.125) * last_d)[:, None],
+         (scfq[:, 15] + F32(0.375) * last_d)[:, None]],
+        axis=1,
+    )
+    if nb < 64:
+        n2 = 64 - nb
+        head = (interp[:, 0 : 2 * n2 : 2] + interp[:, 1 : 2 * n2 : 2]) / F32(2.0)
+        tail = interp[:, 2 * n2 : n2 + nb]
+        interp = jnp.concatenate([head, tail], axis=1)
+    else:
+        interp = interp[:, :nb]
+    g_sns = jnp.exp2(-interp)  # encoder path uses exact exp2 (:256)
+    x_shaped = x * g_sns[:, jnp.asarray(p.band_of_line)]
+
+    fields = dict(
+        ind_lf=ind_lf.astype(jnp.int32), ind_hf=ind_hf.astype(jnp.int32),
+        shape_j=shape_j, gind=gind,
+        ls_inda=ls_inda, ls_indb=ls_indb, index_joint_j=index_joint,
+    )
+    return x_shaped, fields
+
+
+def _mpvq_enum_batch(y, dims):
+    """Batched MPVQ enumeration (spectral_noise_shaping.rs:585-612).
+
+    y [S,16] signed pulses, dims [S] in {6,10,16}: processes positions
+    dim-1..0 per stream; masked so shorter dims skip high positions.
+    """
+    S = y.shape[0]
+    offsets = jnp.asarray(T.MPVQ_OFFSETS, jnp.int32)  # [16,11]
+    index = jnp.zeros(S, jnp.int32)
+    next_sign = jnp.full(S, -1, jnp.int32)  # -1 encodes "unset"
+    k_acc = jnp.zeros(S, jnp.int32)
+    tmp_h = jnp.zeros(S, jnp.int32)  # MPVQ_OFFSETS[0][0] == 0
+    n = jnp.zeros(S, jnp.int32)
+    for pos in range(15, -1, -1):
+        in_range = pos < dims
+        val = y[:, pos]
+        have_sign = next_sign >= 0
+        index = jnp.where(in_range & have_sign & (val != 0), 2 * index + next_sign, index)
+        next_sign = jnp.where(
+            in_range & (val < 0), 1, jnp.where(in_range & (val > 0), 0, next_sign)
+        )
+        index = jnp.where(in_range, index + tmp_h, index)
+        k_acc = jnp.where(in_range, k_acc + jnp.abs(val), k_acc)
+        n = jnp.where(in_range & (pos != 0), n + 1, n)
+        tmp_h = jnp.where(
+            in_range, offsets[jnp.clip(n, 0, 15), jnp.clip(k_acc, 0, 10)], tmp_h
+        )
+    ls = jnp.maximum(next_sign, 0)
+    return index, ls
+
+
+# --------------------------------------------------------------- TNS encode
+# (continued in this module)
+
+
+def tns_analysis_batch(p: EncoderParams, x, bw_ind, nbits: int, near_nyquist):
+    """TNS: masked autocorrelation + unrolled Levinson + lattice scan."""
+    cfg = p.cfg
+    S = x.shape[0]
+    ne = cfg.ne
+    if cfg.n_ms == FrameDuration.MS10:
+        lpc_weighting = 1 if nbits < 480 else 0
+    else:
+        lpc_weighting = 1 if nbits < 360 else 0
+
+    sub = jnp.asarray(p.tns_sub, jnp.int32)[bw_ind]  # [S,2,3,2]
+    bounds = jnp.asarray(p.tns_bounds, jnp.int32)[bw_ind]  # [S,2,2]
+    num_filters = jnp.where(bw_ind >= 3, 2, 1)
+
+    lagw = jnp.asarray(
+        [1.0, 0.9980280260203829, 0.9921354055113971, 0.9823915844707989,
+         0.9689107911912967, 0.9518498073692735, 0.9314049334023056,
+         0.9078082299969592, 0.8813231366694713], F32,
+    )
+
+    pos = jnp.arange(ne)[None, :]
+    rc_q = jnp.zeros((S, 16), F32)
+    rc_i = jnp.full((S, 16), 8, jnp.int32)
+    rc_order = jnp.zeros((S, 2), jnp.int32)
+
+    for f in range(2):
+        # masked energies and autocorrelations per sub-block
+        r = []
+        es_list = []
+        ac_ks = []
+        for sb in range(3):
+            lo = sub[:, f, sb, 0][:, None]
+            hi = sub[:, f, sb, 1][:, None]
+            m = (pos >= lo) & (pos < hi)
+            xm = jnp.where(m, x, 0.0)
+            es = jnp.sum(xm * xm, axis=1)
+            es_list.append(es)
+            acs = []
+            for k in range(9):
+                xk = jnp.where(m, jnp.roll(x, -k, axis=1), 0.0)
+                # product over n in [lo, hi-k): mask n+k < hi
+                mk = m & (pos + k < hi)
+                acs.append(jnp.sum(jnp.where(mk, x * jnp.roll(x, -k, axis=1), 0.0), axis=1))
+            ac_ks.append(acs)
+        e_prod = es_list[0] * es_list[1] * es_list[2]
+        rs = []
+        for k in range(9):
+            rk = sum(
+                jnp.where(es_list[sb] != 0.0, ac_ks[sb][k] / es_list[sb], 0.0)
+                for sb in range(3)
+            )
+            r0 = F32(3.0) if k == 0 else F32(0.0)
+            rs.append(jnp.where(e_prod == 0.0, r0, rk) * lagw[k])
+        r = jnp.stack(rs, axis=1)  # [S,9]
+
+        # Levinson-Durbin, unrolled (k = 1..8)
+        a = jnp.zeros((S, 9), F32).at[:, 0].set(1.0)
+        e = r[:, 0]
+        for k in range(1, 9):
+            rc = -jnp.sum(a[:, :k] * r[:, k:0:-1], axis=1)
+            rc = jnp.where(e != 0.0, rc / e, rc)
+            new_a = a
+            for nn_ in range(1, k):
+                new_a = new_a.at[:, nn_].set(a[:, nn_] + rc * a[:, k - nn_])
+            new_a = new_a.at[:, k].set(rc)
+            a = new_a
+            e = e * (F32(1.0) - rc * rc)
+
+        pred_gain = jnp.where(e == 0.0, r[:, 0], r[:, 0] / e)
+        on = (pred_gain > F32(1.5)) & ~near_nyquist
+        gamma = jnp.where(
+            (lpc_weighting > 0) & (pred_gain < F32(2.0)),
+            F32(1.0) - F32(0.15) * (F32(2.0) - pred_gain) / F32(0.5),
+            F32(1.0),
+        )
+        gpow = jnp.cumprod(jnp.broadcast_to(gamma[:, None], (S, 9)), axis=1) / gamma[:, None]
+        a = a * gpow
+
+        # LPC -> reflection coefficients (inverse recursion, unrolled)
+        rc_f = jnp.zeros((S, 8), F32)
+        a_k = a
+        for k in range(8, 0, -1):
+            rck = a_k[:, k]
+            rc_f = rc_f.at[:, k - 1].set(rck)
+            ee = F32(1.0) - rck * rck
+            new_a = a_k
+            for nn_ in range(1, k):
+                new_a = new_a.at[:, nn_].set((a_k[:, nn_] - rck * a_k[:, k - nn_]) / ee)
+            a_k = new_a
+        rc_f = jnp.where(on[:, None], rc_f, 0.0)
+
+        # quantize: round(asin(rc)/(pi/17)) + 8
+        q = jnp.arcsin(rc_f) / F32(np.pi / 17.0)
+        qi = jnp.where(q >= 0.0, (q + F32(0.5)).astype(jnp.int32), -((-q + F32(0.5)).astype(jnp.int32)))
+        rci_f = qi + 8
+        sin_tab = np.sin(np.pi / 17.0 * (np.arange(17, dtype=np.float64) - 8.0)).astype(np.float32)
+        rcq_f = jnp.asarray(sin_tab)[jnp.clip(rci_f, 0, 16)]
+
+        # order: highest k with rci != 8
+        nz = rci_f != 8
+        order = 8 - jnp.argmax(nz[:, ::-1], axis=1)
+        order = jnp.where(jnp.any(nz, axis=1), order, 0)
+
+        filter_exists = f < num_filters
+        rc_i = rc_i.at[:, f * 8 : f * 8 + 8].set(jnp.where(filter_exists[:, None], rci_f, 8))
+        rc_q = rc_q.at[:, f * 8 : f * 8 + 8].set(jnp.where(filter_exists[:, None], rcq_f, 0.0))
+        rc_order = rc_order.at[:, f].set(jnp.where(filter_exists, order, 0))
+
+    # bit budget
+    order_bits = jnp.asarray(T.AC_TNS_ORDER_BITS, jnp.int32)[lpc_weighting]  # [8]
+    coef_bits = jnp.asarray(T.AC_TNS_COEF_BITS, jnp.int32)  # [8,17]
+    nbits_tns = jnp.zeros(S, jnp.int32)
+    for f in range(2):
+        o = rc_order[:, f]
+        nb_order = jnp.where(o > 0, order_bits[jnp.clip(o - 1, 0, 7)], 0)
+        ks = jnp.arange(8)
+        per_k = coef_bits[ks[None, :], rc_i[:, f * 8 : f * 8 + 8]]
+        nb_coef = jnp.sum(jnp.where(ks[None, :] < o[:, None], per_k, 0), axis=1)
+        add = jnp.ceil(
+            (F32(2048.0) + nb_order.astype(F32) + nb_coef.astype(F32)) / F32(2048.0)
+        ).astype(jnp.int32)
+        nbits_tns = nbits_tns + jnp.where(f < num_filters, add, 0)
+
+    # lattice analysis filtering: scan over lines
+    def step(carry, xs):
+        st = carry  # [S,8]
+        x_n, n = xs
+        in_f0 = (n >= bounds[:, 0, 0]) & (n < bounds[:, 0, 1]) & (rc_order[:, 0] > 0)
+        in_f1 = (n >= bounds[:, 1, 0]) & (n < bounds[:, 1, 1]) & (rc_order[:, 1] > 0) & (num_filters > 1)
+        active = in_f0 | in_f1
+        fsel = in_f1
+        order = jnp.where(fsel, rc_order[:, 1], rc_order[:, 0])
+        rc = jnp.where(fsel[:, None], rc_q[:, 8:16], rc_q[:, 0:8])
+
+        t = x_n
+        st_save = t
+        new_st = st
+        for kk in range(7):
+            m = kk < order - 1
+            st_tmp = rc[:, kk] * t + new_st[:, kk]
+            t_new = t + rc[:, kk] * new_st[:, kk]
+            col = jnp.where(m, st_save, new_st[:, kk])
+            t = jnp.where(m, t_new, t)
+            new_st = new_st.at[:, kk].set(col)
+            st_save = jnp.where(m, st_tmp, st_save)
+        # final tap: k = order-1
+        last = jnp.clip(order - 1, 0, 7)
+        rc_last = jnp.take_along_axis(rc, last[:, None], axis=1)[:, 0]
+        st_last = jnp.take_along_axis(new_st, last[:, None], axis=1)[:, 0]
+        t = jnp.where(active, t + rc_last * st_last, x_n)
+        new_st = jnp.where(
+            active[:, None] & (jnp.arange(8)[None, :] == last[:, None]), st_save[:, None], new_st
+        )
+        new_st = jnp.where(active[:, None], new_st, st)
+        out = jnp.where(active, t, x_n)
+        return new_st, out
+
+    init = jnp.zeros((S, 8), F32)
+    _, out = jax.lax.scan(step, init, (x.T, jnp.arange(ne, dtype=jnp.int32)))
+    x_f = out.T
+
+    return x_f, dict(
+        nbits_tns=nbits_tns, lpc_weighting=lpc_weighting,
+        num_tns_filters=num_filters, rc_order=rc_order, rc_i=rc_i,
+    )
+
+
+# ------------------------------------------------------- spectral quantizer
+
+_NBITS_SNS = 38
+
+
+def _gain_table(nbits: int, fs_ind: int) -> tuple[np.ndarray, int]:
+    from ..ref import fp as _fp
+
+    fs = fs_ind + 1
+    gg_off = -min(115, nbits // (10 * fs)) - 105 - 5 * fs
+    table = np.array(
+        [
+            _fp.powf(
+                np.float32(10.0),
+                np.float32(np.float32(i) + np.float32(gg_off)) / np.float32(28.0),
+            )
+            for i in range(256)
+        ],
+        dtype=np.float32,
+    )
+    return table, gg_off
+
+
+def spectral_quantize(p: EncoderParams, state: EncoderState, x_f, nbits: int,
+                      nbits_bw: int, nbits_tns, nbits_ltpf):
+    """Gain search + quantization + bit model (spectral_quantization.rs)."""
+    cfg = p.cfg
+    S = x_f.shape[0]
+    ne = cfg.ne
+    fs_ind = cfg.fs_ind
+
+    nbits_ari = int(np.ceil(np.log2(ne / 2.0))) + (3 if nbits <= 1280 else 4 if nbits <= 2560 else 5)
+    nbits_spec = nbits - nbits_bw - _NBITS_SNS - 8 - 3 - nbits_ari - nbits_tns - nbits_ltpf
+    # (nbits_tns/nbits_ltpf are [S]; rest static)
+
+    nbits_offset = jnp.where(
+        state.quant_reset_offset,
+        F32(0.0),
+        F32(0.8) * state.quant_nbits_offset
+        + F32(0.2)
+        * jnp.minimum(
+            F32(40.0),
+            jnp.maximum(
+                F32(-40.0),
+                state.quant_nbits_offset
+                + state.quant_nbits_spec.astype(F32)
+                - state.quant_nbits_est.astype(F32),
+            ),
+        ),
+    )
+    nbits_spec_adj = (nbits_spec.astype(F32) + nbits_offset + F32(0.5)).astype(jnp.int32)
+
+    gg_table, gg_off = _gain_table(nbits, fs_ind)
+
+    # spectral energy in 4-line groups (dB), left-associated adds like the
+    # reference (spectral_quantization.rs:390-395)
+    quads = x_f.reshape(S, ne // 4, 4)
+    sq = quads * quads
+    total4 = ((sq[:, :, 0] + sq[:, :, 1]) + sq[:, :, 2]) + sq[:, :, 3]
+    e = F32(10.0) * jnp.log10(F32(np.finfo(np.float32).eps) + total4)  # [S, ne/4]
+
+    # 8-iteration bisection; term arithmetic and the sequential accumulation
+    # order (cumsum over the reversed energy list) mirror the reference's
+    # f32 fold (spectral_quantization.rs:174-209)
+    k28, k20 = F32(28.0), F32(20.0)
+    c27 = F32(2.7) * k28 / k20
+    c43 = F32(43.0) * k28 / k20
+    c36 = F32(36.0) * k28 / k20
+    c7 = F32(7.0) * k28 / k20
+    fac = 256
+    gg_ind = jnp.full(S, 255, jnp.int32)
+    for _ in range(8):
+        fac >>= 1
+        gg_ind = gg_ind - fac
+        threshold = (gg_ind + gg_off).astype(F32)
+        scaled = e * k28 / k20
+        above = scaled >= threshold[:, None]
+        rev_above = above[:, ::-1]
+        seen = jnp.cumsum(rev_above, axis=1) > 0
+        seen_before = jnp.concatenate([jnp.zeros((S, 1), bool), seen[:, :-1]], axis=1)
+        below_term = jnp.where(~rev_above & seen_before, c27, F32(0.0))
+        sc_rev = scaled[:, ::-1]
+        # reference groups 2*e*28/20 as (((2*e)*28)/20
+        sc2_rev = (F32(2.0) * e[:, ::-1]) * k28 / k20
+        far = threshold[:, None] < (sc_rev - c43)
+        above_term = jnp.where(
+            rev_above,
+            jnp.where(
+                far,
+                sc2_rev - F32(2.0) * threshold[:, None] - c36,
+                sc_rev - threshold[:, None] + c7,
+            ),
+            F32(0.0),
+        )
+        tmp = jnp.cumsum(below_term + above_term, axis=1)[:, -1]
+        is_zero = ~jnp.any(above, axis=1)
+        limit = nbits_spec_adj.astype(F32) * F32(1.4) * k28 / k20
+        overshoot = (tmp > limit) & ~is_zero
+        gg_ind = jnp.where(overshoot, gg_ind + fac, gg_ind)
+
+    # gain limitation
+    x_max = jnp.max(jnp.abs(x_f), axis=1)
+    gg_min = jnp.where(
+        x_max > 0.0,
+        jnp.ceil(F32(28.0) * jnp.log10(x_max / F32(32768.0 - 0.375))).astype(jnp.int32)
+        - gg_off,
+        0,
+    )
+    reset_offset = (gg_ind < gg_min) | (x_max == 0.0)
+    gg_ind = jnp.where(reset_offset, gg_min, gg_ind)
+
+    def quantize(gg_ind):
+        gg = jnp.asarray(gg_table)[jnp.clip(gg_ind, 0, 255)]
+        scaled = x_f / gg[:, None]
+        offs = jnp.where(x_f >= 0.0, scaled + F32(0.375), scaled - F32(0.375))
+        x_q = jnp.clip(jnp.trunc(offs), -32768.0, 32767.0).astype(jnp.int32)
+        bc = bit_consumption(p, x_q, nbits, nbits_spec)
+        x_q = jnp.where(
+            jnp.arange(ne)[None, :] < bc["lastnz_trunc"][:, None], x_q, 0
+        )
+        lsb_mode = bc["mode_flag"] & (bc["nbits_est"] > nbits_spec)
+        return x_q, gg, bc, lsb_mode
+
+    x_q, gg, bc, lsb_mode = quantize(gg_ind)
+
+    new_quant_state = dict(
+        quant_nbits_offset=nbits_offset,
+        quant_nbits_est=bc["nbits_est"],
+        quant_reset_offset=reset_offset,
+        quant_nbits_spec=nbits_spec,
+    )
+
+    # global gain adjustment (delta tables) + optional requantization
+    t1 = [80, 230, 380, 530, 680][fs_ind]
+    t2 = [500, 1025, 1550, 2075, 2600][fs_ind]
+    t3 = [850, 1700, 2550, 3400, 4250][fs_ind]
+    nbe = bc["nbits_est"].astype(F32)
+    delta = jnp.where(
+        bc["nbits_est"] < t1,
+        (nbe + F32(48.0)) / F32(16.0),
+        jnp.where(
+            bc["nbits_est"] < t2,
+            (nbe - t1) * (F32(t2 / 48.0) - F32(t1 / 16.0 + 3.0)) / F32(t2 - t1)
+            + F32(t1 / 16.0 + 3.0),
+            jnp.where(bc["nbits_est"] < t3, nbe / F32(48.0), F32(t3 / 48.0)),
+        ),
+    )
+    delta = jnp.floor(delta + F32(0.5))
+    delta2 = delta + F32(2.0)
+    nspec_f = nbits_spec.astype(F32)
+    cond = ((gg_ind < 255) & (bc["nbits_est"] > nbits_spec)) | (
+        (gg_ind > 0) & (nbe < nspec_f - delta2)
+    )
+    adj = jnp.where(
+        nbe < nspec_f - delta2,
+        -1,
+        jnp.where((gg_ind == 254) | (nbe < nspec_f + delta), 1, 2),
+    )
+    new_gg_ind = jnp.where(cond, jnp.maximum(gg_ind + adj, gg_min), gg_ind)
+    adjusted = new_gg_ind != gg_ind
+
+    x_q2, gg2, bc2, lsb2 = quantize(new_gg_ind)
+    x_q = jnp.where(adjusted[:, None], x_q2, x_q)
+    gg = jnp.where(adjusted, gg2, gg)
+    lsb_mode = jnp.where(adjusted, lsb2, lsb_mode)
+    bc = {k: jnp.where(adjusted, bc2[k], bc[k]) for k in bc}
+
+    fields = dict(
+        gg_ind=new_gg_ind, nbits_spec=nbits_spec, nbits_lsb=bc["nbits_lsb"],
+        nbits_trunc=bc["nbits_trunc"], lsb_mode=lsb_mode,
+        rate_flag=bc["rate_flag"], lastnz_trunc=bc["lastnz_trunc"], gg=gg,
+    )
+    return x_q, fields, new_quant_state
+
+
+def bit_consumption(p: EncoderParams, x_q, nbits: int, nbits_spec):
+    """Arithmetic-coder bit model as a scan over spectral tuples
+    (spectral_quantization.rs:265-348)."""
+    cfg = p.cfg
+    S, ne = x_q.shape
+    fs_ind = cfg.fs_ind
+    rate_flag = 512 if nbits > (160 + fs_ind * 160) else 0
+    mode_flag = nbits >= (480 + fs_ind * 160)
+
+    pairs = x_q.reshape(S, ne // 2, 2)
+    pair_nz = jnp.any(pairs != 0, axis=2)
+    rev_any = pair_nz[:, ::-1]
+    last_idx = (ne // 2 - 1) - jnp.argmax(rev_any, axis=1)
+    lastnz = jnp.where(jnp.any(pair_nz, axis=1), 2 * (last_idx + 1), 2)
+    lastnz = jnp.maximum(lastnz, 2)
+
+    lookup = jnp.asarray(T.AC_SPEC_LOOKUP, jnp.int32)
+    bits_tab = jnp.asarray(T.AC_SPEC_BITS, jnp.int32)
+
+    def step(carry, xs):
+        c, est, trunc, nlsb, lastnz_tr = carry
+        a0, b0, n = xs  # abs values [S], position
+        in_range = n < lastnz
+        t = c + rate_flag + jnp.where(n > ne // 2, 256, 0)
+        a, b = a0, b0
+        lev = jnp.zeros(S, jnp.int32)
+        est_new = est
+        nlsb_new = nlsb
+        for _ in range(14):
+            go = jnp.maximum(a, b) >= 4
+            pki = lookup[jnp.clip(t + jnp.minimum(lev, 3) * 1024, 0, 4095)]
+            est_new = est_new + jnp.where(go & in_range, bits_tab[pki, 16], 0)
+            lsb_pay = go & (lev == 0) & mode_flag
+            nlsb_new = nlsb_new + jnp.where(lsb_pay & in_range, 2, 0)
+            est_new = est_new + jnp.where(go & ~lsb_pay & in_range, 2 * 2048, 0)
+            a = jnp.where(go, a >> 1, a)
+            b = jnp.where(go, b >> 1, b)
+            lev = jnp.where(go, jnp.minimum(lev + 1, 3), lev)
+        pki = lookup[jnp.clip(t + lev * 1024, 0, 4095)]
+        sym = a + 4 * b
+        est_new = est_new + jnp.where(in_range, bits_tab[pki, jnp.clip(sym, 0, 16)], 0)
+        est_new = est_new + jnp.where(in_range & (a0 > 0), 2048, 0)
+        est_new = est_new + jnp.where(in_range & (b0 > 0), 2048, 0)
+        if mode_flag:
+            a_l = a0 >> 1
+            b_l = b0 >> 1
+            lev_pos = lev > 0
+            nlsb_new = nlsb_new + jnp.where(
+                in_range & lev_pos & (a_l == 0) & (a0 != 0), 1, 0
+            )
+            nlsb_new = nlsb_new + jnp.where(
+                in_range & lev_pos & (b_l == 0) & (b0 != 0), 1, 0
+            )
+        fits = (
+            ((a0 != 0) | (b0 != 0))
+            & (jnp.ceil(est_new.astype(F32) / F32(2048.0)).astype(jnp.int32) <= nbits_spec)
+            & in_range
+        )
+        lastnz_tr = jnp.where(fits, n + 2, lastnz_tr)
+        trunc = jnp.where(fits, est_new, trunc)
+        t_next = jnp.where(lev <= 1, 1 + (a + b) * (lev + 1), 12 + lev)
+        c = jnp.where(in_range, (c & 15) * 16 + t_next, c)
+        est = jnp.where(in_range, est_new, est)
+        nlsb = jnp.where(in_range, nlsb_new, nlsb)
+        return (c, est, trunc, nlsb, lastnz_tr), None
+
+    a_abs = jnp.abs(pairs[:, :, 0]).T  # [ne/2, S]
+    b_abs = jnp.abs(pairs[:, :, 1]).T
+    ns = jnp.arange(0, ne, 2, dtype=jnp.int32)
+    init = (
+        jnp.zeros(S, jnp.int32), jnp.zeros(S, jnp.int32), jnp.zeros(S, jnp.int32),
+        jnp.zeros(S, jnp.int32), jnp.full(S, 2, jnp.int32),
+    )
+    (c, est, trunc, nlsb, lastnz_tr), _ = jax.lax.scan(step, init, (a_abs, b_abs, ns))
+
+    nbits_est = jnp.ceil(est.astype(F32) / F32(2048.0)).astype(jnp.int32) + nlsb
+    nbits_trunc = jnp.ceil(trunc.astype(F32) / F32(2048.0)).astype(jnp.int32)
+    return dict(
+        lastnz=lastnz.astype(jnp.int32), lastnz_trunc=lastnz_tr,
+        nbits_est=nbits_est, nbits_trunc=nbits_trunc, nbits_lsb=nlsb,
+        mode_flag=mode_flag, rate_flag=rate_flag,
+    )
+
+
+def residual_bits_batch(p: EncoderParams, nbits_spec, nbits_trunc, gg, x_f, x_q):
+    """Residual refinement bits, vectorised (residual_spectrum.rs:33-62)."""
+    ne = p.cfg.ne
+    max_bits = jnp.maximum(0, nbits_spec - nbits_trunc + 4)
+    nz = x_q != 0
+    pos = jnp.cumsum(nz, axis=1) - 1
+    emit = nz & (pos < max_bits[:, None])
+    bit = x_f >= x_q.astype(F32) * gg[:, None]
+    # compact bits to the left in emission order (out-of-range drops)
+    order = jnp.where(emit, pos, ne)
+    zeros_row = jnp.zeros((ne,), bool)
+    bits_full = jax.vmap(lambda o, b: zeros_row.at[o].set(b, mode="drop"))(order, bit)
+    n_res = jnp.sum(emit, axis=1)
+    return bits_full, n_res.astype(jnp.int32)
+
+
+def noise_level_batch(p: EncoderParams, x_f, x_q, bw_ind, gg):
+    """Noise factor 0..7 (noise_level_estimation.rs:21-55)."""
+    ne = p.cfg.ne
+    k = jnp.arange(ne)
+    bw_stop = jnp.asarray(p.nf_bw_stop, jnp.int32)[bw_ind][:, None]
+    zero = (x_q == 0) | (k[None, :] >= bw_stop)
+    window_zero = jnp.ones_like(zero)
+    for d in range(-p.nf_width, p.nf_width + 1):
+        shifted = jnp.roll(zero, -d, axis=1)
+        valid = (k[None, :] + d >= 0) & (k[None, :] + d < ne)
+        window_zero &= jnp.where(valid & (k[None, :] + d < bw_stop), shifted, True)
+    nf_stop = jnp.minimum(ne, bw_stop)
+    relevant = window_zero & (k[None, :] >= p.nf_start) & (k[None, :] < nf_stop)
+    contrib = jnp.where(relevant, jnp.abs(x_f) / gg[:, None], 0.0)
+    count = jnp.sum(relevant, axis=1)
+    level = jnp.where(count > 0, jnp.sum(contrib, axis=1) / count.astype(F32), 0.0)
+    diff = F32(8.0) - F32(16.0) * level
+    return jnp.where(diff >= 0.0, jnp.minimum(7, diff + F32(0.5)).astype(jnp.int32), 0)
+
+
+# ------------------------------------------------------------- fused step
+
+
+def encode_step(cfg: Lc3Config, nbytes: int, state: EncoderState, x_s):
+    """One batched frame: PCM [S, nf] int16 -> (state, bitstream fields)."""
+    p = encoder_params(cfg)
+    nbits = nbytes * 8
+
+    time_buf, x, e_b, near_nyquist = forward_mdct(p, state.time_buf, x_s)
+    bw_ind, nbits_bw = bandwidth_detect(p, e_b)
+    attack, att_state = attack_detect(p, state, x_s, nbytes)
+    x, sns_fields = sns_analysis(p, x, e_b, attack)
+    x, tns_fields = tns_analysis_batch(p, x, bw_ind, nbits, near_nyquist)
+    ltpf_fields, ltpf_state = ltpf_analysis(cfg, state.ltpf, x_s, near_nyquist, nbits)
+    x_q, quant_fields, quant_state = spectral_quantize(
+        p, state, x, nbits, nbits_bw,
+        tns_fields["nbits_tns"], ltpf_fields["nbits_ltpf"],
+    )
+    res_bits, n_res = residual_bits_batch(
+        p, quant_fields["nbits_spec"], quant_fields["nbits_trunc"],
+        quant_fields["gg"], x, x_q,
+    )
+    noise_factor = noise_level_batch(p, x, x_q, bw_ind, quant_fields["gg"])
+
+    new_state = EncoderState(
+        time_buf=time_buf,
+        ltpf=ltpf_state,
+        **att_state,
+        **quant_state,
+    )
+    fields = dict(
+        bandwidth=bw_ind, nbits_bw=nbits_bw,
+        x_q=x_q, residual_bits=res_bits, n_residual=n_res,
+        noise_factor=noise_factor,
+        **{f"sns_{k}": v for k, v in sns_fields.items()},
+        **{f"tns_{k}": v for k, v in tns_fields.items()},
+        **{f"ltpf_{k}": v for k, v in ltpf_fields.items()},
+        **{f"quant_{k}": v for k, v in quant_fields.items()},
+    )
+    return new_state, fields
+
+
+def make_encode_step(cfg: Lc3Config, nbytes: int):
+    return jax.jit(partial(encode_step, cfg, nbytes), donate_argnums=(0,))
