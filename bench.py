@@ -1,18 +1,20 @@
 #!/usr/bin/env python3
-"""Throughput benchmark: batched LC3 decode on one TPU chip.
+"""Throughput benchmark: batched LC3 on one TPU chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Metric: aggregate realtime decode factor per chip at 48 kHz / 10 ms mono
-(device DSP path: parsed bitstream tensors -> PCM). Baseline is the
-reference implementation's published ~720x realtime on one Intel i7-6700K
-core (reference README.md:124-125, see BASELINE.md).
+Primary metric: aggregate realtime DECODE factor per chip at 48 kHz / 10 ms
+mono for the end-to-end pipeline (native C++ bitstream parse on host + the
+batched device DSP), bounded by whichever is slower. Baseline: the reference
+implementation's published ~720x realtime on one Intel i7-6700K core
+(reference README.md:124-125, BASELINE.md).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -21,17 +23,20 @@ import numpy as np
 def main() -> None:
     import jax
 
+    from lc3jax.coding import native
+    from lc3jax.coding.host import pack_frames, parse_frames
     from lc3jax.config import FrameDuration, Lc3Config
-    from lc3jax.coding.host import parse_frames
     from lc3jax.dsp.decoder import decoder_init, make_decode_step
+    from lc3jax.dsp.encoder import encoder_init, make_encode_step
     from lc3jax.ref.encoder import Lc3Encoder
 
     cfg = Lc3Config.new(48000, FrameDuration.MS10)
     nbytes = 150
     n_streams = 2048
     frame_seconds = 0.01
+    baseline = 720.0
 
-    # build a realistic frame batch: distinct tonal/noise content per group
+    # realistic mixed-content frame batch
     rng = np.random.default_rng(0)
     enc = Lc3Encoder(4, cfg.n_ms, cfg.fs)
     t = np.arange(cfg.nf) / cfg.fs
@@ -42,45 +47,72 @@ def main() -> None:
         (6000 * np.sin(2 * np.pi * 97 * t)).astype(np.int16),
     ]
     payloads = [bytes(enc.encode_frame(ch, pcm, nbytes)) for ch, pcm in enumerate(contents)]
-    batch = [payloads[s % 4] for s in range(n_streams)]
+    batch_bytes = np.frombuffer(
+        b"".join(payloads[s % 4] for s in range(n_streams)), np.uint8
+    ).reshape(n_streams, nbytes)
+    pcm_batch = np.stack([contents[s % 4] for s in range(n_streams)])
 
-    host_t0 = time.perf_counter()
-    frames = parse_frames(cfg, batch)
-    host_parse_s = time.perf_counter() - host_t0
+    # ---- host bitstream parse (native C++)
+    use_native = native.available()
+    if use_native:
+        native.parse_frames_native(cfg, batch_bytes[:8])  # warm
+        t0 = time.perf_counter()
+        iters_h = 10
+        for _ in range(iters_h):
+            frames = native.parse_frames_native(cfg, batch_bytes, n_threads=os.cpu_count() or 1)
+        host_parse_s = (time.perf_counter() - t0) / iters_h
+    else:
+        t0 = time.perf_counter()
+        frames = parse_frames(cfg, [bytes(r) for r in batch_bytes])
+        host_parse_s = time.perf_counter() - t0
+    host_rtf = n_streams * frame_seconds / host_parse_s
 
-    frames = jax.device_put(frames)
-    state = decoder_init(cfg, n_streams)
-    step = make_decode_step(cfg, nbytes * 8)
-
-    # warmup / compile
-    state, pcm = step(state, frames)
+    # ---- device decode DSP
+    frames_dev = jax.device_put(frames)
+    dstate = decoder_init(cfg, n_streams)
+    dstep = make_decode_step(cfg, nbytes * 8)
+    dstate, pcm = dstep(dstate, frames_dev)
     pcm.block_until_ready()
-
     iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, pcm = step(state, frames)
+        dstate, pcm = dstep(dstate, frames_dev)
     pcm.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    dec_s = (time.perf_counter() - t0) / iters
+    dec_rtf = n_streams * frame_seconds / dec_s
 
-    frames_per_sec = n_streams * iters / elapsed
-    realtime_factor = frames_per_sec * frame_seconds
-    baseline = 720.0  # reference: 720x realtime, 1 CPU core
+    # ---- device encode DSP
+    pcm_dev = jax.device_put(pcm_batch)
+    estate = encoder_init(cfg, n_streams)
+    estep = make_encode_step(cfg, nbytes)
+    estate, fields = estep(estate, pcm_dev)
+    jax.block_until_ready(fields)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        estate, fields = estep(estate, pcm_dev)
+    jax.block_until_ready(fields)
+    enc_s = (time.perf_counter() - t0) / iters
+    enc_rtf = n_streams * frame_seconds / enc_s
+
+    # ---- e2e decode: parse (host) and DSP (device) pipeline in parallel in
+    # steady state; throughput is bounded by the slower side
+    e2e_rtf = min(host_rtf, dec_rtf)
 
     result = {
-        "metric": "aggregate realtime decode factor per chip (48kHz/10ms mono, device DSP)",
-        "value": round(realtime_factor, 1),
+        "metric": "aggregate realtime decode factor per chip (48kHz/10ms mono, e2e: native bitstream + device DSP)",
+        "value": round(e2e_rtf, 1),
         "unit": "x_realtime",
-        "vs_baseline": round(realtime_factor / baseline, 2),
+        "vs_baseline": round(e2e_rtf / baseline, 2),
         "detail": {
             "device": str(jax.devices()[0]),
             "n_streams": n_streams,
-            "frames_per_sec": round(frames_per_sec, 0),
-            "step_ms": round(elapsed / iters * 1e3, 3),
-            "host_parse_ms_per_frame": round(host_parse_s / n_streams * 1e3, 4),
-            "host_parse_realtime_factor": round(
-                frame_seconds / (host_parse_s / n_streams), 1
-            ),
+            "decode_dsp_x_realtime": round(dec_rtf, 0),
+            "encode_dsp_x_realtime": round(enc_rtf, 0),
+            "host_parse_x_realtime": round(host_rtf, 0),
+            "host_parse_native": use_native,
+            "host_cores": os.cpu_count(),
+            "decode_step_ms": round(dec_s * 1e3, 3),
+            "encode_step_ms": round(enc_s * 1e3, 3),
         },
     }
     print(json.dumps(result))

@@ -1,0 +1,684 @@
+// Native host bitstream codec for the lc3jax framework.
+//
+// The bit-serial ends of LC3 — side-info parsing, the arithmetic (range)
+// codec and MPVQ (de)enumeration — are inherently sequential per frame and
+// run on host (SURVEY.md section 7.1). This C++ implementation replaces the
+// Python reference path on the hot serving path; it produces/consumes the
+// same fixed-shape tensors the batched TPU kernels exchange
+// (lc3jax/dsp/decoder.py ParsedFrames, lc3jax/dsp/encoder.py fields).
+//
+// Parity: mirrors the semantics of the reference implementation
+// (decoder/side_info_reader.rs, decoder/arithmetic_codec.rs,
+// encoder/bitstream_encoding.rs) as re-derived in lc3jax/ref; validated
+// bit-exactly against it in tests/test_native_bitstream.py.
+//
+// Build: see native/build.sh (plain g++, no external deps). Exposed via
+// ctypes (lc3jax/coding/native.py). Batch entry points fan out over a
+// thread pool: streams are independent.
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ----------------------------------------------------------- spec tables
+// Filled in from Python at init (they live in lc3jax/data/tables.npz; the
+// library stays data-free).
+static int16_t g_ac_spec_freq[64][17];
+static int16_t g_ac_spec_cumfreq[64][17];
+static uint8_t g_ac_spec_lookup[4096];
+static int16_t g_ac_tns_order_freq[2][8];
+static int16_t g_ac_tns_order_cumfreq[2][8];
+static int16_t g_ac_tns_coef_freq[8][17];
+static int16_t g_ac_tns_coef_cumfreq[8][17];
+static int32_t g_mpvq_offsets[16][11];
+
+struct Reader {
+  const uint8_t* buf;
+  int len;
+  int head = 0;       // byte cursor from the front
+  int tail_bits = 0;  // bit cursor from the back
+  bool error = false;
+
+  int head_byte() {
+    if (head >= len) { error = true; return 0; }
+    return buf[head++];
+  }
+  uint32_t head_u24() {
+    if (head + 2 >= len) { error = true; return 0; }
+    uint32_t v = (uint32_t(buf[head]) << 16) | (uint32_t(buf[head + 1]) << 8) |
+                 buf[head + 2];
+    head += 3;
+    return v;
+  }
+  uint32_t tail_uint(int nbits) {
+    int byte_index = tail_bits / 8;
+    int bit_index = tail_bits % 8;
+    int bits_left = 8 - bit_index;
+    int add_bytes = (nbits > bits_left && nbits < 8) ? 2 : 1;
+    int nbytes = nbits / 8 + add_bytes;
+    if (len - head - byte_index - nbytes < 0) { error = true; return 0; }
+    int start = len - byte_index - nbytes;
+    uint64_t v = 0;
+    for (int i = 0; i < nbytes; i++) v = (v << 8) | buf[start + i];
+    v >>= bit_index;
+    v &= (uint64_t(1) << nbits) - 1;
+    tail_bits += nbits;
+    return uint32_t(v);
+  }
+  bool tail_bool() {
+    int byte_index = tail_bits / 8;
+    int bit_index = tail_bits % 8;
+    if (len - head - byte_index + 2 < 0) { error = true; return false; }
+    uint8_t b = buf[len - byte_index - 1];
+    tail_bits += 1;
+    return (b >> bit_index) & 1;
+  }
+};
+
+struct SideInfo {
+  int bandwidth = 0;
+  int lastnz = 0;
+  bool lsb_mode = false;
+  int gg_ind = 0;
+  int num_tns_filters = 0;
+  int rc_order[2] = {0, 0};
+  // SNS VQ
+  int ind_lf = 0, ind_hf = 0, ls_inda = 0, ls_indb = 0;
+  int32_t idx_a = 0, idx_b = 0;
+  int submode_lsb = 0, submode_msb = 0, g_ind = 0;
+  // LTPF
+  bool pitch_present = false, ltpf_active = false;
+  int pitch_index = 0;
+  int noise_factor = 0;
+};
+
+static int ceil_log2(int v) {
+  int bits = 0;
+  while ((1 << bits) < v) bits++;
+  return bits;
+}
+
+static bool read_side_info(Reader& r, int fs_ind, int ne, SideInfo& si) {
+  static const int kNbitsBw[5] = {0, 1, 2, 2, 3};
+  int nbits_bw = kNbitsBw[fs_ind];
+  if (nbits_bw > 0) {
+    si.bandwidth = r.tail_uint(nbits_bw);
+    if (fs_ind < si.bandwidth) return false;
+  }
+  int lastnz_bits = ceil_log2(ne / 2);
+  si.lastnz = (int(r.tail_uint(lastnz_bits)) + 1) << 1;
+  if (si.lastnz > ne) return false;
+  si.lsb_mode = r.tail_bool();
+  si.gg_ind = r.tail_uint(8);
+  si.num_tns_filters = si.bandwidth < 3 ? 1 : 2;
+  for (int f = 0; f < si.num_tns_filters; f++) si.rc_order[f] = r.tail_bool();
+  si.pitch_present = r.tail_bool();
+
+  // SNS VQ demux
+  si.ind_lf = r.tail_uint(5);
+  si.ind_hf = r.tail_uint(5);
+  si.submode_msb = r.tail_bool();
+  si.g_ind = r.tail_uint(si.submode_msb == 0 ? 1 : 2);
+  si.ls_inda = r.tail_bool();
+  if (si.submode_msb == 0) {
+    uint32_t tmp = r.tail_uint(25);
+    if (tmp >= 33460056u) return false;
+    uint32_t idx_bor = tmp / 2390004u;
+    si.idx_a = tmp - idx_bor * 2390004u;
+    int32_t ib = int32_t(idx_bor) - 2;
+    si.submode_lsb = ib < 0 ? 1 : 0;
+    ib += si.submode_lsb * 2;
+    if (si.submode_lsb != 0) {
+      si.g_ind = (si.g_ind << 1) + ib;
+    } else {
+      si.idx_b = ib >> 1;
+      si.ls_indb = ib & 1;
+    }
+  } else {
+    uint32_t tmp = r.tail_uint(24);
+    if (tmp >= 16708096u) return false;
+    if (tmp >= 15158272u) {
+      tmp -= 15158272u;
+      si.submode_lsb = 1;
+      si.g_ind = (si.g_ind << 1) + (tmp & 1);
+      si.idx_a = tmp >> 1;
+    } else {
+      si.idx_a = tmp;
+    }
+  }
+
+  if (si.pitch_present) {
+    si.ltpf_active = r.tail_bool();
+    si.pitch_index = r.tail_uint(9);
+  }
+  si.noise_factor = r.tail_uint(3);
+  return !r.error;
+}
+
+struct RangeDec {
+  uint32_t low, range;
+  bool error = false;
+  void init(Reader& r) {
+    low = r.head_u24();
+    range = 0x00ffffff;
+  }
+  int decode(Reader& r, const int16_t* cumfreq, const int16_t* freq, int n) {
+    uint32_t tmp = range >> 10;
+    if (low >= (tmp << 10)) { error = true; return 0; }
+    int val = n - 1;
+    while (low < tmp * uint32_t(cumfreq[val])) val--;
+    low -= tmp * uint32_t(cumfreq[val]);
+    range = tmp * uint32_t(freq[val]);
+    while (range < 0x10000) {
+      low = ((low << 8) & 0x00ffffff) + uint32_t(r.head_byte());
+      range <<= 8;
+    }
+    return val;
+  }
+};
+
+static void mpvq_deenum(int dim, int k_val, int ls_ind, uint32_t ind,
+                        int32_t* vec) {
+  for (int i = 0; i < dim; i++) vec[i] = 0;
+  int leading_sign = ls_ind == 0 ? 1 : -1;
+  int k_max = k_val;
+  for (int pos = 0; pos < dim; pos++) {
+    const int32_t* row = g_mpvq_offsets[dim - 1 - pos];
+    if (ind == 0) {
+      vec[pos] = leading_sign < 0 ? -k_max : k_max;
+      break;
+    }
+    int k_acc = k_max;
+    while (ind < uint32_t(row[k_acc])) k_acc--;
+    ind -= uint32_t(row[k_acc]);
+    int k_delta = k_max - k_acc;
+    if (k_delta != 0) {
+      vec[pos] = leading_sign < 0 ? -k_delta : k_delta;
+      leading_sign = (ind & 1) ? -1 : 1;
+      ind >>= 1;
+      k_max -= k_delta;
+    }
+  }
+}
+
+static int ilog2_floor(uint32_t v) {
+  int r = -1;
+  while (v) { v >>= 1; r++; }
+  return r;
+}
+
+// Full frame parse (side info + TNS + spectrum + residual); returns false on
+// corrupt input (caller flags PLC).
+static bool parse_one(const uint8_t* buf, int nbytes, int fs_ind, int ne,
+                      bool is_7p5ms,
+                      int32_t* x, uint8_t* lsb_mode, int32_t* gg_ind,
+                      int32_t* rc_order, int32_t* rc_i, int32_t* bandwidth,
+                      int32_t* noise_factor, int32_t* nf_seed,
+                      uint8_t* zero_frame, uint8_t* residual_bits,
+                      int32_t* n_residual, int32_t* sns_y, int32_t* sns_shape,
+                      int32_t* sns_gind, int32_t* sns_ind_lf,
+                      int32_t* sns_ind_hf, uint8_t* ltpf_active,
+                      int32_t* pitch_index) {
+  Reader r{buf, nbytes};
+  SideInfo si;
+  if (!read_side_info(r, fs_ind, ne, si)) return false;
+
+  int nbits = nbytes * 8;
+  RangeDec st;
+  st.init(r);
+
+  // TNS
+  int max_bits = is_7p5ms ? 360 : 480;
+  int lpcw = nbits < max_bits ? 1 : 0;
+  int tns_order[2] = {si.rc_order[0], si.rc_order[1]};
+  int tns_idx[16] = {0};
+  for (int f = 0; f < si.num_tns_filters; f++) {
+    if (tns_order[f] > 0) {
+      int order = st.decode(r, g_ac_tns_order_cumfreq[lpcw],
+                            g_ac_tns_order_freq[lpcw], 8);
+      if (st.error || r.error) return false;
+      tns_order[f] = order + 1;
+      for (int k = 0; k < tns_order[f]; k++) {
+        tns_idx[f * 8 + k] =
+            st.decode(r, g_ac_tns_coef_cumfreq[k], g_ac_tns_coef_freq[k], 17);
+        if (st.error || r.error) return false;
+      }
+    }
+  }
+
+  // spectrum
+  int rate_flag = nbits > (160 + fs_ind * 160) ? 512 : 0;
+  int c = 0;
+  std::vector<int> save_lev(ne, 0);
+  for (int k = 0; k < si.lastnz; k += 2) {
+    int t = c + rate_flag + (k > ne / 2 ? 256 : 0);
+    int xk = 0, xk1 = 0, sym = 0, lev = 0;
+    while (lev < 14) {
+      int pki = g_ac_spec_lookup[t + std::min(lev, 3) * 1024];
+      sym = st.decode(r, g_ac_spec_cumfreq[pki], g_ac_spec_freq[pki], 17);
+      if (st.error || r.error) return false;
+      if (sym < 16) break;
+      if (!si.lsb_mode || lev > 0) {
+        xk += int(r.tail_bool()) << lev;
+        xk1 += int(r.tail_bool()) << lev;
+      }
+      lev++;
+    }
+    if (si.lsb_mode) save_lev[k] = lev;
+    int a = sym & 3, b = sym >> 2;
+    xk += a << lev;
+    xk1 += b << lev;
+    if (xk > 0 && r.tail_bool()) xk = -xk;
+    if (xk1 > 0 && r.tail_bool()) xk1 = -xk1;
+    if (r.error) return false;
+    x[k] = xk;
+    x[k + 1] = xk1;
+    lev = std::min(lev, 3);
+    t = lev <= 1 ? 1 + (a + b) * (lev + 1) : 12 + lev;
+    c = (c & 15) * 16 + t;
+  }
+  for (int k = si.lastnz; k < ne; k++) x[k] = 0;
+
+  // residual
+  int nbits_side = r.tail_bits - 8;
+  int nbits_ari = (r.head + 1 - 3) * 8 + 25 - ilog2_floor(st.range);
+  if (nbits < nbits_side + nbits_ari) return false;
+  int nres_avail = nbits - nbits_side - nbits_ari;
+  int nres = 0;
+  if (!si.lsb_mode) {
+    for (int k = 0; k < ne; k++) {
+      if (x[k] != 0) {
+        if (nres == nres_avail) break;
+        residual_bits[nres++] = r.tail_bool();
+      }
+    }
+  } else {
+    int budget = nres_avail;
+    auto read_bit = [&](int idx) -> bool {
+      if (budget == 0) return false;
+      bool bit = r.tail_bool();
+      budget--;
+      if (bit) {
+        if (x[idx] > 0) x[idx]++;
+        else if (x[idx] < 0) x[idx]--;
+        else {
+          if (budget == 0) return false;
+          bool b2 = r.tail_bool();
+          budget--;
+          x[idx] = b2 ? -1 : 1;
+        }
+      }
+      return true;
+    };
+    for (int k = 0; k < si.lastnz; k += 2) {
+      if (save_lev[k] > 0) {
+        if (!read_bit(k)) break;
+        if (!read_bit(k + 1)) break;
+      }
+    }
+  }
+  if (r.error) return false;
+
+  int64_t seed = 0;
+  for (int k = 0; k < ne; k++) seed += int64_t(std::abs(x[k])) * k;
+  *nf_seed = int32_t(seed & 0xFFFF);
+  *zero_frame = (si.lastnz == 2 && x[0] == 0 && x[1] == 0 && si.gg_ind == 0);
+
+  *lsb_mode = si.lsb_mode;
+  *gg_ind = si.gg_ind;
+  rc_order[0] = tns_order[0];
+  rc_order[1] = tns_order[1];
+  for (int i = 0; i < 16; i++) rc_i[i] = tns_idx[i];
+  *bandwidth = si.bandwidth;
+  *noise_factor = si.noise_factor;
+  *n_residual = nres;
+
+  // SNS de-enumeration
+  int shape_j = (si.submode_msb << 1) + si.submode_lsb;
+  int32_t y[16] = {0};
+  if (shape_j == 0) {
+    mpvq_deenum(10, 10, si.ls_inda, si.idx_a, y);
+    int32_t z6[6];
+    mpvq_deenum(6, 1, si.ls_indb, si.idx_b, z6);
+    for (int i = 0; i < 6; i++) y[10 + i] = z6[i];
+  } else if (shape_j == 1) {
+    mpvq_deenum(10, 10, si.ls_inda, si.idx_a, y);
+  } else if (shape_j == 2) {
+    mpvq_deenum(16, 8, si.ls_inda, si.idx_a, y);
+  } else {
+    mpvq_deenum(16, 6, si.ls_inda, si.idx_a, y);
+  }
+  for (int i = 0; i < 16; i++) sns_y[i] = y[i];
+  *sns_shape = shape_j;
+  *sns_gind = si.g_ind;
+  *sns_ind_lf = si.ind_lf;
+  *sns_ind_hf = si.ind_hf;
+  *ltpf_active = si.ltpf_active;
+  *pitch_index = si.pitch_index;
+  return true;
+}
+
+// -------------------------------------------------------------- encoder
+
+struct Writer {
+  uint8_t* buf;
+  int len;
+  int bp = 0;
+  int bp_side;
+  int mask_side = 1;
+  explicit Writer(uint8_t* b, int n) : buf(b), len(n), bp_side(n - 1) {
+    std::memset(b, 0, n);
+  }
+  void bool_backward(bool bit) {
+    if (bit) buf[bp_side] |= mask_side;
+    else buf[bp_side] &= ~mask_side;
+    if (mask_side == 0x80) { mask_side = 1; bp_side--; }
+    else mask_side <<= 1;
+  }
+  void uint_backward(uint32_t val, int nbits) {
+    for (int i = 0; i < nbits; i++) { bool_backward(val & 1); val >>= 1; }
+  }
+  void byte_forward(uint8_t v) { buf[bp++] = v; }
+  void uint_forward(uint32_t val, int nbits) {
+    int mask = 0x80;
+    for (int i = 0; i < nbits; i++) {
+      if (val & mask) buf[bp] |= mask;
+      else buf[bp] &= ~mask;
+      mask >>= 1;
+    }
+  }
+  int nbits_side_written(int nbits) const {
+    int lg = ilog2_floor(uint32_t(mask_side));
+    return nbits - (8 * bp_side + 8 - lg);
+  }
+};
+
+struct RangeEnc {
+  uint32_t low = 0, range = 0x00ffffff;
+  int32_t cache = -1, carry = 0, carry_count = 0;
+  void shift(Writer& w) {
+    if (low < 0x00ff0000u || carry == 1) {
+      if (cache >= 0) w.byte_forward(uint8_t((cache + carry) & 0xff));
+      while (carry_count > 0) {
+        w.byte_forward(uint8_t((carry + 0xff) & 0xff));
+        carry_count--;
+      }
+      cache = int32_t(low >> 16);
+      carry = 0;
+    } else {
+      carry_count++;
+    }
+    low = (low << 8) & 0x00ffffff;
+  }
+  void encode(Writer& w, int cum_freq, int sym_freq) {
+    uint32_t r = range >> 10;
+    low += r * uint32_t(cum_freq);
+    if (low >> 24) carry = 1;
+    low &= 0x00ffffff;
+    range = r * uint32_t(sym_freq);
+    while (range < 0x10000) { range <<= 8; shift(w); }
+  }
+  int forecast(const Writer& w) const {
+    int nbits_ari = w.bp * 8 + 25 - ilog2_floor(range);
+    if (carry >= 0) nbits_ari += 8;
+    if (carry_count > 0) nbits_ari += carry_count * 8;
+    return nbits_ari;
+  }
+  void finish(Writer& w) {
+    int bits = 1;
+    while ((range >> (24 - bits)) == 0) bits++;
+    uint32_t mask = 0x00ffffff >> bits;
+    uint32_t val = low + mask;
+    uint32_t over1 = val >> 24;
+    uint32_t high = low + range;
+    uint32_t over2 = high >> 24;
+    val &= 0x00ffffff & ~mask;
+    if (over1 == over2) {
+      if (val + mask >= high) {
+        bits++;
+        mask >>= 1;
+        val = ((low + mask) & 0x00ffffff) & ~mask;
+      }
+      if (val < low) carry = 1;
+    }
+    low = val;
+    while (bits > 0) { shift(w); bits -= 8; }
+    bits += 8;
+    if (carry_count > 0) {
+      w.byte_forward(uint8_t(cache));
+      while (carry_count > 1) { w.byte_forward(0xff); carry_count--; }
+      w.uint_forward(0xffu >> (8 - bits), bits);
+    } else {
+      w.uint_forward(uint32_t(cache & 0xffff), bits);
+    }
+  }
+};
+
+struct EncFields {
+  int bandwidth, nbits_bw;
+  int ind_lf, ind_hf, shape_j, gind, ls_inda, ls_indb;
+  int32_t index_joint;
+  int num_tns_filters, lpc_weighting;
+  const int32_t* rc_order;
+  const int32_t* rc_i;
+  bool pitch_present, ltpf_active;
+  int pitch_index;
+  int lastnz_trunc, gg_ind, rate_flag, nbits_lsb;
+  bool lsb_mode;
+  int noise_factor;
+  const int32_t* x_q;
+  const uint8_t* res_bits;
+  int n_res;
+};
+
+static const int kSnsGainMsbBits[4] = {1, 1, 2, 2};
+static const int kSnsGainLsbBits[4] = {0, 1, 0, 1};
+
+static void pack_one(const EncFields& f, int ne, uint8_t* out, int nbytes) {
+  Writer w(out, nbytes);
+  int nbits = nbytes * 8;
+  if (f.nbits_bw > 0) w.uint_backward(f.bandwidth, f.nbits_bw);
+  w.uint_backward((f.lastnz_trunc >> 1) - 1, ceil_log2(ne / 2));
+  w.bool_backward(f.lsb_mode);
+  w.uint_backward(f.gg_ind, 8);
+  for (int i = 0; i < f.num_tns_filters; i++)
+    w.bool_backward(f.rc_order[i] != 0);
+  w.bool_backward(f.pitch_present);
+  w.uint_backward(f.ind_lf, 5);
+  w.uint_backward(f.ind_hf, 5);
+  bool submode_msb = (f.shape_j >> 1) != 0;
+  w.bool_backward(submode_msb);
+  w.uint_backward(f.gind >> kSnsGainLsbBits[f.shape_j], kSnsGainMsbBits[f.shape_j]);
+  w.bool_backward(f.ls_inda != 0);
+  if (!submode_msb) {
+    w.uint_backward(uint32_t(f.index_joint), 13);
+    w.uint_backward(uint32_t(f.index_joint) >> 13, 12);
+  } else {
+    w.uint_backward(uint32_t(f.index_joint), 12);
+    w.uint_backward(uint32_t(f.index_joint) >> 12, 12);
+  }
+  if (f.pitch_present) {
+    w.bool_backward(f.ltpf_active);
+    w.uint_backward(f.pitch_index, 9);
+  }
+  w.uint_backward(f.noise_factor, 3);
+
+  RangeEnc st;
+  for (int fi = 0; fi < f.num_tns_filters; fi++) {
+    if (f.rc_order[fi] > 0) {
+      st.encode(w, g_ac_tns_order_cumfreq[f.lpc_weighting][f.rc_order[fi] - 1],
+                g_ac_tns_order_freq[f.lpc_weighting][f.rc_order[fi] - 1]);
+      for (int k = 0; k < f.rc_order[fi]; k++) {
+        st.encode(w, g_ac_tns_coef_cumfreq[k][f.rc_i[k + 8 * fi]],
+                  g_ac_tns_coef_freq[k][f.rc_i[k + 8 * fi]]);
+      }
+    }
+  }
+
+  // spectral data
+  std::vector<uint8_t> lsbs;
+  lsbs.reserve(f.nbits_lsb + 8);
+  int c = 0;
+  for (int k = 0; k < f.lastnz_trunc; k += 2) {
+    int t = c + f.rate_flag + (k > ne / 2 ? 256 : 0);
+    uint32_t a = uint32_t(std::abs(f.x_q[k]));
+    uint32_t a_lsb = a;
+    uint32_t b = uint32_t(std::abs(f.x_q[k + 1]));
+    uint32_t b_lsb = b;
+    int lev = 0;
+    uint8_t lsb0 = 0, lsb1 = 0;
+    while (std::max(a, b) >= 4) {
+      int pki = g_ac_spec_lookup[t + std::min(lev, 3) * 1024];
+      st.encode(w, g_ac_spec_cumfreq[pki][16], g_ac_spec_freq[pki][16]);
+      if (f.lsb_mode && lev == 0) {
+        lsb0 = a & 1;
+        lsb1 = b & 1;
+      } else {
+        w.bool_backward(a & 1);
+        w.bool_backward(b & 1);
+      }
+      a >>= 1;
+      b >>= 1;
+      lev++;
+    }
+    int pki = g_ac_spec_lookup[t + std::min(lev, 3) * 1024];
+    int sym = int(a + 4 * b);
+    st.encode(w, g_ac_spec_cumfreq[pki][sym], g_ac_spec_freq[pki][sym]);
+    if (f.lsb_mode && lev > 0) {
+      a_lsb >>= 1;
+      b_lsb >>= 1;
+      lsbs.push_back(lsb0);
+      if (a_lsb == 0 && f.x_q[k] != 0) lsbs.push_back(f.x_q[k] > 0 ? 0 : 1);
+      lsbs.push_back(lsb1);
+      if (b_lsb == 0 && f.x_q[k + 1] != 0) lsbs.push_back(f.x_q[k + 1] > 0 ? 0 : 1);
+    }
+    if (a_lsb > 0) w.bool_backward(f.x_q[k] <= 0);
+    if (b_lsb > 0) w.bool_backward(f.x_q[k + 1] <= 0);
+    lev = std::min(lev, 3);
+    int tn = lev <= 1 ? 1 + (int(a) + int(b)) * (lev + 1) : 12 + lev;
+    c = (c & 15) * 16 + tn;
+  }
+
+  int nbits_side = w.nbits_side_written(nbits);
+  int nbits_ari = st.forecast(w);
+  int nres_enc = std::max(0, nbits - (nbits_side + nbits_ari));
+  if (!f.lsb_mode) {
+    int n = std::min(nres_enc, f.n_res);
+    for (int i = 0; i < n; i++) w.bool_backward(f.res_bits[i]);
+  } else {
+    int n = std::min(nres_enc, int(lsbs.size()));
+    for (int i = 0; i < n; i++) w.bool_backward(lsbs[i] == 1);
+  }
+  st.finish(w);
+}
+
+}  // namespace
+
+extern "C" {
+
+void lc3_load_tables(const int16_t* spec_freq, const int16_t* spec_cumfreq,
+                     const uint8_t* spec_lookup, const int16_t* tns_order_freq,
+                     const int16_t* tns_order_cumfreq,
+                     const int16_t* tns_coef_freq,
+                     const int16_t* tns_coef_cumfreq,
+                     const int32_t* mpvq_offsets) {
+  std::memcpy(g_ac_spec_freq, spec_freq, sizeof(g_ac_spec_freq));
+  std::memcpy(g_ac_spec_cumfreq, spec_cumfreq, sizeof(g_ac_spec_cumfreq));
+  std::memcpy(g_ac_spec_lookup, spec_lookup, sizeof(g_ac_spec_lookup));
+  std::memcpy(g_ac_tns_order_freq, tns_order_freq, sizeof(g_ac_tns_order_freq));
+  std::memcpy(g_ac_tns_order_cumfreq, tns_order_cumfreq,
+              sizeof(g_ac_tns_order_cumfreq));
+  std::memcpy(g_ac_tns_coef_freq, tns_coef_freq, sizeof(g_ac_tns_coef_freq));
+  std::memcpy(g_ac_tns_coef_cumfreq, tns_coef_cumfreq,
+              sizeof(g_ac_tns_coef_cumfreq));
+  std::memcpy(g_mpvq_offsets, mpvq_offsets, sizeof(g_mpvq_offsets));
+}
+
+// Batched parse: payloads [S, nbytes] row-major. Outputs preallocated by the
+// caller with the ParsedFrames layout. Returns number of bad (PLC) frames.
+int lc3_parse_frames(const uint8_t* payloads, int S, int nbytes, int fs_ind,
+                     int ne, int is_7p5ms, int n_threads,
+                     int32_t* x, uint8_t* lsb_mode, int32_t* gg_ind,
+                     int32_t* rc_order, int32_t* rc_i, int32_t* bandwidth,
+                     int32_t* noise_factor, int32_t* nf_seed,
+                     uint8_t* zero_frame, uint8_t* residual_bits,
+                     int32_t* n_residual, int32_t* sns_y, int32_t* sns_shape,
+                     int32_t* sns_gind, int32_t* sns_ind_lf,
+                     int32_t* sns_ind_hf, uint8_t* ltpf_active,
+                     int32_t* pitch_index, uint8_t* bad_frame) {
+  std::vector<std::thread> threads;
+  int nt = std::max(1, n_threads);
+  std::vector<int> bad_counts(nt, 0);
+  auto work = [&](int tid) {
+    for (int s = tid; s < S; s += nt) {
+      bool ok = parse_one(
+          payloads + size_t(s) * nbytes, nbytes, fs_ind, ne, is_7p5ms != 0,
+          x + size_t(s) * ne, lsb_mode + s, gg_ind + s, rc_order + size_t(s) * 2,
+          rc_i + size_t(s) * 16, bandwidth + s, noise_factor + s, nf_seed + s,
+          zero_frame + s, residual_bits + size_t(s) * ne, n_residual + s,
+          sns_y + size_t(s) * 16, sns_shape + s, sns_gind + s, sns_ind_lf + s,
+          sns_ind_hf + s, ltpf_active + s, pitch_index + s);
+      if (!ok) {
+        bad_frame[s] = 1;
+        // zero the outputs the device consumes for PLC lanes
+        std::memset(x + size_t(s) * ne, 0, sizeof(int32_t) * ne);
+        bad_counts[tid]++;
+      } else {
+        bad_frame[s] = 0;
+      }
+    }
+  };
+  if (nt == 1) {
+    work(0);
+  } else {
+    for (int t = 0; t < nt; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+  }
+  int total = 0;
+  for (int v : bad_counts) total += v;
+  return total;
+}
+
+// Batched pack: field arrays [S,...]; out [S, nbytes].
+void lc3_pack_frames(int S, int nbytes, int ne, int n_threads,
+                     const int32_t* bandwidth, int nbits_bw,
+                     const int32_t* ind_lf, const int32_t* ind_hf,
+                     const int32_t* shape_j, const int32_t* gind,
+                     const int32_t* ls_inda, const int32_t* ls_indb,
+                     const int32_t* index_joint, const int32_t* num_tns,
+                     int lpc_weighting, const int32_t* rc_order,
+                     const int32_t* rc_i, const uint8_t* pitch_present,
+                     const uint8_t* ltpf_active, const int32_t* pitch_index,
+                     const int32_t* lastnz_trunc, const int32_t* gg_ind,
+                     int rate_flag, const int32_t* nbits_lsb,
+                     const uint8_t* lsb_mode, const int32_t* noise_factor,
+                     const int32_t* x_q, const uint8_t* res_bits,
+                     const int32_t* n_res, uint8_t* out) {
+  int nt = std::max(1, n_threads);
+  auto work = [&](int tid) {
+    for (int s = tid; s < S; s += nt) {
+      EncFields f{
+          bandwidth[s], nbits_bw, ind_lf[s], ind_hf[s], shape_j[s], gind[s],
+          ls_inda[s], ls_indb[s], index_joint[s], num_tns[s], lpc_weighting,
+          rc_order + size_t(s) * 2, rc_i + size_t(s) * 16,
+          pitch_present[s] != 0, ltpf_active[s] != 0, pitch_index[s],
+          lastnz_trunc[s], gg_ind[s], rate_flag, nbits_lsb[s],
+          lsb_mode[s] != 0, noise_factor[s], x_q + size_t(s) * ne,
+          res_bits + size_t(s) * ne, n_res[s]};
+      pack_one(f, ne, out + size_t(s) * nbytes, nbytes);
+    }
+  };
+  if (nt == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+  }
+}
+
+}  // extern "C"

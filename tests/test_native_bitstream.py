@@ -1,0 +1,80 @@
+"""Native (C++) bitstream codec vs the Python reference path: bit-exact."""
+
+import dataclasses
+from functools import partial
+
+import jax
+import numpy as np
+import pytest
+
+from lc3jax.config import FrameDuration, Lc3Config
+from lc3jax.coding import native
+from lc3jax.coding.host import pack_frames, parse_frames
+from lc3jax.ref.encoder import Lc3Encoder
+
+CFG48 = Lc3Config.new(48000, FrameDuration.MS10)
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built (run native/build.sh)"
+)
+
+
+def _mixed_payloads(nbytes, nframes=6):
+    rng = np.random.default_rng(9)
+    t = np.arange(nframes * 480) / 48000
+    streams = [
+        (8000 * np.sin(2 * np.pi * 220 * t)).astype(np.int16),
+        (1000 * rng.standard_normal(len(t))).astype(np.int16),
+        np.zeros(len(t), np.int16),
+    ]
+    encs = [Lc3Encoder(1, FrameDuration.MS10, 48000) for _ in streams]
+    out = []
+    for f in range(nframes):
+        for s, sig in enumerate(streams):
+            out.append(bytes(encs[s].encode_frame(0, sig[f * 480 : (f + 1) * 480], nbytes)))
+    return out
+
+
+@pytest.mark.parametrize("nbytes", [40, 80, 150])
+def test_parse_matches_python(nbytes):
+    payloads = _mixed_payloads(nbytes)
+    arr = np.frombuffer(b"".join(payloads), np.uint8).reshape(len(payloads), nbytes)
+    pf_n = native.parse_frames_native(CFG48, arr)
+    pf_p = parse_frames(CFG48, payloads)
+    for field in dataclasses.fields(pf_n):
+        a = np.asarray(getattr(pf_n, field.name))
+        b = np.asarray(getattr(pf_p, field.name))
+        assert np.array_equal(a, b), field.name
+
+
+def test_parse_flags_corrupt_frames():
+    payloads = _mixed_payloads(80, nframes=2)
+    arr = np.frombuffer(b"".join(payloads), np.uint8).reshape(len(payloads), 80).copy()
+    arr[1] = 255
+    arr[4, :10] = 0
+    pf = native.parse_frames_native(CFG48, arr)
+    pf_p = parse_frames(CFG48, [bytes(r) for r in arr])
+    assert np.array_equal(pf.bad_frame, np.asarray(pf_p.bad_frame))
+
+
+def test_pack_matches_python():
+    from lc3jax.dsp.encoder import encode_step, encoder_init
+
+    nbytes = 80
+    rng = np.random.default_rng(5)
+    t = np.arange(480) / 48000
+    batch = np.stack(
+        [
+            (8000 * np.sin(2 * np.pi * 220 * t)).astype(np.int16),
+            (1500 * rng.standard_normal(480)).astype(np.int16),
+            np.zeros(480, np.int16),
+        ]
+    )
+    state = encoder_init(CFG48, 3)
+    step = jax.jit(partial(encode_step, CFG48, nbytes))
+    _, fields = step(state, batch)
+    fields = {k: np.asarray(v) for k, v in fields.items()}
+    py = pack_frames(CFG48, fields, nbytes)
+    nat = native.pack_frames_native(CFG48, fields, nbytes)
+    for s in range(3):
+        assert bytes(nat[s]) == py[s], f"stream {s}"
