@@ -12,6 +12,10 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the bitstream-on-device program takes
+# minutes to compile on CPU; cache it across test processes
+jax.config.update("jax_compilation_cache_dir", "/tmp/lc3jax-xla-cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from pathlib import Path
 
