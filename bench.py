@@ -68,29 +68,35 @@ def main() -> None:
     host_rtf = n_streams * frame_seconds / host_parse_s
 
     # ---- device decode DSP
+    from functools import partial
+
+    from lc3jax.dsp.decoder import decode_step
+
     frames_dev = jax.device_put(frames)
     dstate = decoder_init(cfg, n_streams)
-    dstep = make_decode_step(cfg, nbytes * 8)
+    dstep = jax.jit(partial(decode_step, cfg, nbytes * 8))  # no donation: timing
     dstate, pcm = dstep(dstate, frames_dev)
-    pcm.block_until_ready()
+    jax.block_until_ready((dstate, pcm))
     iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
         dstate, pcm = dstep(dstate, frames_dev)
-    pcm.block_until_ready()
+    jax.block_until_ready((dstate, pcm))
     dec_s = (time.perf_counter() - t0) / iters
     dec_rtf = n_streams * frame_seconds / dec_s
 
     # ---- device encode DSP
+    from lc3jax.dsp.encoder import encode_step
+
     pcm_dev = jax.device_put(pcm_batch)
     estate = encoder_init(cfg, n_streams)
-    estep = make_encode_step(cfg, nbytes)
+    estep = jax.jit(partial(encode_step, cfg, nbytes))
     estate, fields = estep(estate, pcm_dev)
-    jax.block_until_ready(fields)
+    jax.block_until_ready((estate, fields))
     t0 = time.perf_counter()
     for _ in range(iters):
         estate, fields = estep(estate, pcm_dev)
-    jax.block_until_ready(fields)
+    jax.block_until_ready((estate, fields))
     enc_s = (time.perf_counter() - t0) / iters
     enc_rtf = n_streams * frame_seconds / enc_s
 
