@@ -115,9 +115,22 @@ def noise_fill(p: DecoderParams, x, x_int, seed, bandwidth, noise_factor, zero_f
     fill = window_all_zero & in_range & ~zero_frame[:, None]
 
     count = jnp.cumsum(fill, axis=1)  # inclusive: m-th fill uses m LCG steps
-    A = jnp.asarray(p.nf_lcg_A, jnp.uint32)[count]
-    B = jnp.asarray(p.nf_lcg_B, jnp.uint32)[count]
-    seeds = (A * seed[:, None].astype(jnp.uint32) + B) & 0xFFFF
+    # m-step LCG jump via binary decomposition of m: 9 elementwise rounds,
+    # no per-element gathers (TPU gathers across lanes are slow)
+    cur = count.astype(jnp.uint32)
+    seeds = seed[:, None].astype(jnp.uint32)
+    offs = jnp.zeros(count.shape, jnp.uint32)
+    mult = jnp.ones(count.shape, jnp.uint32)
+    a_pow, b_pow = 31821, 13849  # (A, B) of a 2^b-step jump, mod 2^16
+    for b in range(9):  # count <= ne <= 400 < 2^9
+        bit = (cur >> b) & 1
+        mult_new = (mult * jnp.uint32(a_pow)) & 0xFFFF
+        offs_new = (offs * jnp.uint32(a_pow) + jnp.uint32(b_pow)) & 0xFFFF
+        mult = jnp.where(bit == 1, mult_new, mult)
+        offs = jnp.where(bit == 1, offs_new, offs)
+        b_pow = (b_pow * (a_pow + 1)) & 0xFFFF
+        a_pow = (a_pow * a_pow) & 0xFFFF
+    seeds = (mult * seeds + offs) & 0xFFFF
     level = (F32(8.0) - noise_factor.astype(F32)) / F32(16.0)
     value = jnp.where(seeds < 0x8000, level[:, None], -level[:, None])
     return jnp.where(fill, value, x)

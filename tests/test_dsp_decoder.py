@@ -115,3 +115,27 @@ def test_8khz_7p5ms_parity():
         ref = dec.decode_frame(16, 0, payloads[f])
         d = np.abs(np.asarray(pcm)[0].astype(int) - ref.astype(int))
         assert d.max() <= 1, f"frame {f}: {d.max()}"
+
+
+def test_32khz_7p5ms_ltpf_parity():
+    """7.5 ms geometry: 3-block LTPF memories, alternate fade length."""
+    cfg = Lc3Config.new(32000, FrameDuration.MS7P5)
+    nbytes = 60  # low enough rate for the LTPF gain to be active
+    nframes = 10
+    t = np.arange(nframes * cfg.nf) / cfg.fs
+    sig = (8000 * np.sin(2 * np.pi * 180 * t)).astype(np.int16)
+    enc = Lc3Encoder(1, FrameDuration.MS7P5, 32000)
+    dec = Lc3Decoder(1, FrameDuration.MS7P5, 32000)
+    payloads = [bytes(enc.encode_frame(0, sig[f * cfg.nf : (f + 1) * cfg.nf], nbytes))
+                for f in range(nframes)]
+    state = decoder_init(cfg, 1)
+    step = jax.jit(lambda st, fr: decode_step(cfg, nbytes * 8, st, fr))
+    ltpf_seen = False
+    for f in range(nframes):
+        frames = parse_frames(cfg, [payloads[f]])
+        ltpf_seen |= bool(np.asarray(frames.ltpf_active).any())
+        state, pcm = step(state, frames)
+        ref = dec.decode_frame(16, 0, payloads[f])
+        d = np.abs(np.asarray(pcm)[0].astype(int) - ref.astype(int))
+        assert d.max() <= 1, f"frame {f}: {d.max()}"
+    assert ltpf_seen, "test content failed to activate the LTPF"
