@@ -324,9 +324,13 @@ def output_scale(x):
 
 
 def decode_step(
-    cfg: Lc3Config, nbits: int, state: DecoderState, frames: ParsedFrames
+    cfg: Lc3Config, nbits: int, state: DecoderState, frames: ParsedFrames,
+    use_pallas: bool = False,
 ) -> tuple[DecoderState, jax.Array]:
-    """One batched frame: parsed fields [S, ...] -> (state, pcm int16 [S, nf])."""
+    """One batched frame: parsed fields [S, ...] -> (state, pcm int16 [S, nf]).
+
+    use_pallas routes the TNS lattice through the fused Pallas kernel
+    (requires S % 128 == 0 and a TPU backend)."""
     p = decoder_params(cfg)
     x = frames.x_int.astype(F32)
     x = residual_apply(p, x, frames.x_int, frames.residual_bits, frames.n_residual,
@@ -334,7 +338,12 @@ def decode_step(
     x = noise_fill(p, x, frames.x_int, frames.nf_seed, frames.bandwidth,
                    frames.noise_factor, frames.zero_frame)
     x = global_gain(p, x, frames.gg_ind, nbits)
-    x = tns_synthesis(p, x, frames.bandwidth, frames.rc_order, frames.rc_i)
+    if use_pallas:
+        from .pallas_tns import tns_synthesis_pallas
+
+        x = tns_synthesis_pallas(p, x, frames.bandwidth, frames.rc_order, frames.rc_i)
+    else:
+        x = tns_synthesis(p, x, frames.bandwidth, frames.rc_order, frames.rc_i)
     x = sns_synthesis(p, x, frames.sns_y, frames.sns_shape, frames.sns_gind,
                       frames.sns_ind_lf, frames.sns_ind_hf)
     x, state = plc_step(p, x, state, frames.bad_frame)

@@ -1,0 +1,101 @@
+"""Pallas TPU kernel: fused TNS synthesis lattice.
+
+The inverse TNS filter is an 8-tap IIR lattice over spectral lines
+(decoder/temporal_noise_shaping.rs:24-74) — inherently sequential per
+stream, so as plain XLA it runs as a ~ne-step lax.scan whose per-step
+overhead dominates. This kernel keeps the whole recurrence inside one
+Pallas program: streams ride the 128-wide lane axis, spectral position is
+the sublane axis, and the 8 lattice taps are unrolled on [1, 128] rows held
+in VMEM scratch. One grid step processes 128 streams.
+
+Enabled via tns_synthesis_pallas (used when the array layout matches);
+validated bit-compatibly against the lax.scan formulation in
+tests/test_pallas_tns.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .params import DecoderParams
+
+F32 = jnp.float32
+LANES = 128
+
+
+def _tns_kernel(ne: int, x_ref, rc_ref, bounds_ref, order_ref, out_ref, state):
+    # state: [8, LANES] VMEM scratch
+    state[...] = jnp.zeros((8, LANES), F32)
+
+    lo0 = bounds_ref[0, :]
+    hi0 = bounds_ref[1, :]
+    lo1 = bounds_ref[2, :]
+    hi1 = bounds_ref[3, :]
+    ord0 = order_ref[0, :]
+    ord1 = order_ref[1, :]
+
+    def body(n, _):
+        xv = x_ref[n, :]
+        in_f0 = (n >= lo0) & (n < hi0) & (ord0 > 0)
+        in_f1 = (n >= lo1) & (n < hi1) & (ord1 > 0)
+        active = in_f0 | in_f1
+        order = jnp.where(in_f1, ord1, ord0)
+
+        t = xv
+        new_rows = []
+        for kk in range(7, -1, -1):
+            rc_k = jnp.where(in_f1, rc_ref[8 + kk, :], rc_ref[kk, :])
+            s_k = state[kk, :]
+            sub = kk < order
+            t = jnp.where(sub, t - rc_k * s_k, t)
+            if kk < 7:  # kk==7 can never satisfy kk < order-1 (order <= 8)
+                upd = kk < order - 1
+                new_rows.append((kk + 1, jnp.where(upd & active, rc_k * t + s_k,
+                                                   state[kk + 1, :])))
+        for row, val in new_rows:
+            state[row, :] = val
+        state[0, :] = jnp.where(active, t, state[0, :])
+        out_ref[n, :] = jnp.where(active, t, xv)
+        return 0
+
+    jax.lax.fori_loop(0, ne, body, 0)
+
+
+def tns_synthesis_pallas(p: DecoderParams, x, bandwidth, rc_order, rc_i,
+                         interpret: bool = False):
+    """Drop-in for dsp.decoder.tns_synthesis: x [S, ne] -> [S, ne].
+    S must be a multiple of 128 (pad the stream batch if not)."""
+    S, ne = x.shape
+    assert S % LANES == 0, "pad the stream axis to a multiple of 128"
+    sin_tab = np.sin(np.pi / 17.0 * (np.arange(17, dtype=np.float64) - 8.0)).astype(
+        np.float32
+    )
+    sin_tab[0] = 0.0
+    rc_q = jnp.asarray(sin_tab)[rc_i]  # [S, 16]
+    bounds = jnp.asarray(p.tns_filter_bounds, jnp.int32)[bandwidth]  # [S,2,2]
+    bounds_t = bounds.reshape(S, 4).T  # [4, S] rows: lo0,hi0,lo1,hi1
+    order_t = rc_order.T.astype(jnp.int32)  # [2, S]
+
+    xt = x.T  # [ne, S]
+    grid = (S // LANES,)
+    out_t = pl.pallas_call(
+        partial(_tns_kernel, ne),
+        out_shape=jax.ShapeDtypeStruct((ne, S), F32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ne, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ne, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, LANES), F32)],
+        interpret=interpret,
+    )(xt, rc_q.T, bounds_t, order_t)
+    return out_t.T

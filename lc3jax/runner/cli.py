@@ -118,6 +118,36 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_inspect(args) -> int:
+    """Dump parsed side info per frame (the reference's read_sideinfo.rs
+    example analog)."""
+    from ..ref.arithmetic import ArithmeticDecodeError
+    from ..ref.bitstream import BitstreamError, BufferReader
+    from ..ref.side_info import SideInfoError, read_side_info
+
+    cfg = Lc3Config.new(args.rate, _duration(args.duration))
+    with open(args.input, "rb") as f:
+        data = f.read()
+    nframes = len(data) // args.nbytes
+    for i in range(min(nframes, args.limit)):
+        buf = data[i * args.nbytes : (i + 1) * args.nbytes]
+        try:
+            si = read_side_info(buf, BufferReader(), cfg.fs_ind, cfg.ne)
+            print(
+                f"frame {i}: bw={si.bandwidth} lastnz={si.lastnz} "
+                f"lsb={int(si.lsb_mode)} gg={si.global_gain_index} "
+                f"tns={si.num_tns_filters}x{si.reflect_coef_order_ari_input} "
+                f"sns(shape={(si.sns_vq.submode_msb << 1) + si.sns_vq.submode_lsb},"
+                f"lf={si.sns_vq.ind_lf},hf={si.sns_vq.ind_hf}) "
+                f"ltpf(present={int(si.ltpf.pitch_present)},"
+                f"active={int(si.ltpf.is_active)},idx={si.ltpf.pitch_index}) "
+                f"nf={si.noise_factor}"
+            )
+        except (SideInfoError, ArithmeticDecodeError, BitstreamError) as e:
+            print(f"frame {i}: CORRUPT ({e})")
+    return 0
+
+
 def cmd_compare(args) -> int:
     """Byte-diff two .lc3 streams (examples/compare.rs)."""
     a = open(args.a, "rb").read()
@@ -167,6 +197,14 @@ def main(argv=None) -> int:
     pc.add_argument("a")
     pc.add_argument("b")
     pc.set_defaults(fn=cmd_compare)
+
+    pi = sub.add_parser("inspect")
+    pi.add_argument("input")
+    pi.add_argument("--rate", type=int, default=48000)
+    pi.add_argument("--nbytes", type=int, default=150)
+    pi.add_argument("--duration", default="10")
+    pi.add_argument("--limit", type=int, default=20)
+    pi.set_defaults(fn=cmd_inspect)
 
     args = ap.parse_args(argv)
     _set_platform(args.platform)
