@@ -63,34 +63,41 @@ def load():
     return _lib
 
 
+_parse_buffers: dict = {}
+
+
+def _alloc_parse_buffers(S: int, ne: int):
+    return (
+        np.zeros((S, ne), np.int32), np.zeros(S, np.uint8), np.zeros(S, np.int32),
+        np.zeros((S, 2), np.int32), np.zeros((S, 16), np.int32),
+        np.zeros(S, np.int32), np.zeros(S, np.int32), np.zeros(S, np.int32),
+        np.zeros(S, np.uint8), np.zeros((S, ne), np.uint8), np.zeros(S, np.int32),
+        np.zeros((S, 16), np.int32), np.zeros(S, np.int32), np.zeros(S, np.int32),
+        np.zeros(S, np.int32), np.zeros(S, np.int32), np.zeros(S, np.uint8),
+        np.zeros(S, np.int32), np.zeros(S, np.uint8),
+    )
+
+
 def parse_frames_native(
     cfg: Lc3Config, payloads: np.ndarray, n_threads: int = 8
 ) -> ParsedFrames:
-    """payloads: uint8 [S, nbytes]. Returns ParsedFrames (host numpy)."""
+    """payloads: uint8 [S, nbytes]. Returns ParsedFrames (host numpy).
+
+    Output buffers are cached per (S, ne) and reused across calls; callers
+    must consume (or copy/device_put) the result before the next call."""
     lib = load()
     assert lib is not None, "native bitstream library not built"
     payloads = np.ascontiguousarray(payloads, np.uint8)
     S, nbytes = payloads.shape
     ne = cfg.ne
-    x = np.zeros((S, ne), np.int32)
-    lsb_mode = np.zeros(S, np.uint8)
-    gg_ind = np.zeros(S, np.int32)
-    rc_order = np.zeros((S, 2), np.int32)
-    rc_i = np.zeros((S, 16), np.int32)
-    bandwidth = np.zeros(S, np.int32)
-    noise_factor = np.zeros(S, np.int32)
-    nf_seed = np.zeros(S, np.int32)
-    zero_frame = np.zeros(S, np.uint8)
-    residual_bits = np.zeros((S, ne), np.uint8)
-    n_residual = np.zeros(S, np.int32)
-    sns_y = np.zeros((S, 16), np.int32)
-    sns_shape = np.zeros(S, np.int32)
-    sns_gind = np.zeros(S, np.int32)
-    sns_ind_lf = np.zeros(S, np.int32)
-    sns_ind_hf = np.zeros(S, np.int32)
-    ltpf_active = np.zeros(S, np.uint8)
-    pitch_index = np.zeros(S, np.int32)
-    bad_frame = np.zeros(S, np.uint8)
+    key = (S, ne)
+    bufs = _parse_buffers.get(key)
+    if bufs is None:
+        bufs = _alloc_parse_buffers(S, ne)
+        _parse_buffers[key] = bufs
+    (x, lsb_mode, gg_ind, rc_order, rc_i, bandwidth, noise_factor, nf_seed,
+     zero_frame, residual_bits, n_residual, sns_y, sns_shape, sns_gind,
+     sns_ind_lf, sns_ind_hf, ltpf_active, pitch_index, bad_frame) = bufs
     lib.lc3_parse_frames(
         payloads, S, nbytes, cfg.fs_ind, ne,
         1 if cfg.n_ms == FrameDuration.MS7P5 else 0, n_threads,

@@ -223,6 +223,11 @@ static bool parse_one(const uint8_t* buf, int nbytes, int fs_ind, int ne,
                       int32_t* sns_gind, int32_t* sns_ind_lf,
                       int32_t* sns_ind_hf, uint8_t* ltpf_active,
                       int32_t* pitch_index) {
+  // buffers are reused across calls: clear the sparsely-written rows
+  std::memset(residual_bits, 0, size_t(ne));
+  std::memset(rc_i, 0, sizeof(int32_t) * 16);
+  std::memset(sns_y, 0, sizeof(int32_t) * 16);
+  rc_order[0] = rc_order[1] = 0;
   Reader r{buf, nbytes};
   SideInfo si;
   if (!read_side_info(r, fs_ind, ne, si)) return false;
@@ -253,7 +258,7 @@ static bool parse_one(const uint8_t* buf, int nbytes, int fs_ind, int ne,
   // spectrum
   int rate_flag = nbits > (160 + fs_ind * 160) ? 512 : 0;
   int c = 0;
-  std::vector<int> save_lev(ne, 0);
+  int save_lev[512] = {0};  // ne <= 480
   for (int k = 0; k < si.lastnz; k += 2) {
     int t = c + rate_flag + (k > ne / 2 ? 256 : 0);
     int xk = 0, xk1 = 0, sym = 0, lev = 0;
