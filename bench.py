@@ -100,6 +100,19 @@ def main() -> None:
     enc_s = (time.perf_counter() - t0) / iters
     enc_rtf = n_streams * frame_seconds / enc_s
 
+    # ---- host pack (encoder side)
+    if use_native:
+        fields_h = {k: np.asarray(v) for k, v in fields.items()}
+        native.pack_frames_native(cfg, fields_h, nbytes)  # warm
+        t0 = time.perf_counter()
+        for _ in range(5):
+            native.pack_frames_native(cfg, fields_h, nbytes,
+                                      n_threads=os.cpu_count() or 1)
+        host_pack_s = (time.perf_counter() - t0) / 5
+        pack_rtf = n_streams * frame_seconds / host_pack_s
+    else:
+        pack_rtf = 0.0
+
     # ---- e2e decode: parse (host) and DSP (device) pipeline in parallel in
     # steady state; throughput is bounded by the slower side
     e2e_rtf = min(host_rtf, dec_rtf)
@@ -115,6 +128,7 @@ def main() -> None:
             "decode_dsp_x_realtime": round(dec_rtf, 0),
             "encode_dsp_x_realtime": round(enc_rtf, 0),
             "host_parse_x_realtime": round(host_rtf, 0),
+            "host_pack_x_realtime": round(pack_rtf, 0),
             "host_parse_native": use_native,
             "host_cores": os.cpu_count(),
             "decode_step_ms": round(dec_s * 1e3, 3),

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Full-matrix throughput sweep (BASELINE.json config 5).
+
+Runs the batched decode/encode DSP for every (sampling rate, duration) pair
+and a bitrate ladder on the current device, writing a markdown table to
+BENCH_SWEEP.md. The canonical single JSON line stays in bench.py.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import numpy as np
+
+
+def bench_config(cfg, nbytes, n_streams=1024, iters=20):
+    import jax
+
+    from lc3jax.coding import native
+    from lc3jax.dsp.decoder import decode_step, decoder_init
+    from lc3jax.dsp.encoder import encode_step, encoder_init
+    from lc3jax.ref.encoder import Lc3Encoder
+
+    frame_seconds = cfg.nf / cfg.fs
+    enc = Lc3Encoder(1, cfg.n_ms, cfg.fs)
+    t = np.arange(cfg.nf) / cfg.fs
+    pcm = (6000 * np.sin(2 * np.pi * 330 * t)).astype(np.int16)
+    payload = bytes(enc.encode_frame(0, pcm, nbytes))
+    arr = np.tile(np.frombuffer(payload, np.uint8), (n_streams, 1))
+
+    frames = jax.device_put(native.parse_frames_native(cfg, arr))
+    dstate = decoder_init(cfg, n_streams)
+    dstep = jax.jit(partial(decode_step, cfg, nbytes * 8))
+    dstate, out = dstep(dstate, frames)
+    jax.block_until_ready((dstate, out))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        dstate, out = dstep(dstate, frames)
+    jax.block_until_ready((dstate, out))
+    dec_rtf = n_streams * frame_seconds / ((time.perf_counter() - t0) / iters)
+
+    pcm_b = jax.device_put(np.tile(pcm, (n_streams, 1)))
+    estate = encoder_init(cfg, n_streams)
+    estep = jax.jit(partial(encode_step, cfg, nbytes))
+    estate, fields = estep(estate, pcm_b)
+    jax.block_until_ready((estate, fields))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        estate, fields = estep(estate, pcm_b)
+    jax.block_until_ready((estate, fields))
+    enc_rtf = n_streams * frame_seconds / ((time.perf_counter() - t0) / iters)
+    return dec_rtf, enc_rtf
+
+
+def main() -> None:
+    import jax
+
+    from lc3jax.config import ALL_CONFIGS, FrameDuration
+
+    lines = [
+        "# Throughput sweep (device DSP, batched 1024 streams)",
+        "",
+        f"Device: {jax.devices()[0]}",
+        "",
+        "| fs | duration | bytes/frame | decode x realtime | encode x realtime |",
+        "|---|---|---|---|---|",
+    ]
+    for cfg in ALL_CONFIGS:
+        # bitrate ladder scaled to the frame duration: ~32 and ~96 kbps
+        dur = 0.01 if cfg.n_ms == FrameDuration.MS10 else 0.0075
+        for kbps in (32, 96):
+            nbytes = max(20, int(kbps * 1000 * dur / 8))
+            dec, enc = bench_config(cfg, nbytes)
+            lines.append(
+                f"| {cfg.fs} | {cfg.n_ms.value} | {nbytes} | {dec:,.0f} | {enc:,.0f} |"
+            )
+            print(lines[-1], flush=True)
+    with open("BENCH_SWEEP.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote BENCH_SWEEP.md")
+
+
+if __name__ == "__main__":
+    main()
