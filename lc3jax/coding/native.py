@@ -90,11 +90,15 @@ def parse_frames_native(
     payloads = np.ascontiguousarray(payloads, np.uint8)
     S, nbytes = payloads.shape
     ne = cfg.ne
+    # ring of buffer sets: callers (incl. prefetch pipelines) may still be
+    # transferring the previous result to a device when the next parse runs
     key = (S, ne)
-    bufs = _parse_buffers.get(key)
-    if bufs is None:
-        bufs = _alloc_parse_buffers(S, ne)
-        _parse_buffers[key] = bufs
+    ring = _parse_buffers.get(key)
+    if ring is None:
+        ring = [[_alloc_parse_buffers(S, ne) for _ in range(4)], 0]
+        _parse_buffers[key] = ring
+    bufs = ring[0][ring[1]]
+    ring[1] = (ring[1] + 1) % 4
     (x, lsb_mode, gg_ind, rc_order, rc_i, bandwidth, noise_factor, nf_seed,
      zero_frame, residual_bits, n_residual, sns_y, sns_shape, sns_gind,
      sns_ind_lf, sns_ind_hf, ltpf_active, pitch_index, bad_frame) = bufs

@@ -1,0 +1,110 @@
+"""Serving runtime: pipelined batch codec objects.
+
+The production loop overlaps the host bitstream work (C++ parse/pack) for
+batch k+1 with the device DSP for batch k — the two halves of the e2e
+pipeline measured separately in bench.py. `BatchDecoder.decode_stream`
+drives that overlap with a single prefetch thread; steady-state throughput
+is min(host, device) rather than their sum of latencies.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from functools import partial
+
+import jax
+import numpy as np
+
+from .coding import native
+from .coding.host import pack_frames, parse_frames
+from .config import Lc3Config
+from .dsp.decoder import DecoderState, decode_step, decoder_init
+from .dsp.encoder import encode_step, encoder_init
+from .metrics import CodecMetrics
+
+
+class BatchDecoder:
+    """Decodes batches of [n_streams] frames per call.
+
+    payloads: uint8 [S, nbytes] (one frame per stream). Returns int16
+    PCM [S, nf]. Corrupt frames are concealed (PLC) per stream.
+    """
+
+    def __init__(self, cfg: Lc3Config, n_streams: int, nbytes: int):
+        self.cfg = cfg
+        self.n_streams = n_streams
+        self.nbytes = nbytes
+        self.state: DecoderState = decoder_init(cfg, n_streams)
+        self._step = jax.jit(partial(decode_step, cfg, nbytes * 8))
+        self.metrics = CodecMetrics()
+        self._frame_seconds = cfg.nf / cfg.fs
+
+    def _parse(self, payloads: np.ndarray):
+        if native.available():
+            return native.parse_frames_native(self.cfg, payloads)
+        return parse_frames(self.cfg, [bytes(r) for r in payloads])
+
+    def decode(self, payloads: np.ndarray) -> np.ndarray:
+        frames = jax.device_put(self._parse(payloads))
+        self.state, pcm = self._step(self.state, frames)
+        self.metrics.record_decode(
+            self.n_streams, self._frame_seconds,
+            n_bad=int(np.asarray(frames.bad_frame).sum()),
+        )
+        return np.asarray(pcm)
+
+    def decode_stream(self, payload_batches) -> list:
+        """Decode an iterable of [S, nbytes] batches with host/device overlap:
+        a prefetch thread parses batch k+1 while the device decodes batch k."""
+        q: queue.Queue = queue.Queue(maxsize=2)
+
+        def producer():
+            for batch in payload_batches:
+                frames = jax.device_put(self._parse(batch))
+                # ensure the host->device copy completes before the parse
+                # buffers get recycled
+                jax.block_until_ready(frames)
+                q.put(frames)
+            q.put(None)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        outs = []
+        while True:
+            frames = q.get()
+            if frames is None:
+                break
+            self.state, pcm = self._step(self.state, frames)
+            self.metrics.record_decode(
+                self.n_streams, self._frame_seconds,
+                n_bad=int(np.asarray(frames.bad_frame).sum()),
+            )
+            outs.append(np.asarray(pcm))
+        th.join()
+        return outs
+
+
+class BatchEncoder:
+    """Encodes batches of [n_streams, nf] int16 PCM into frames."""
+
+    def __init__(self, cfg: Lc3Config, n_streams: int, nbytes: int):
+        self.cfg = cfg
+        self.n_streams = n_streams
+        self.nbytes = nbytes
+        self.state = encoder_init(cfg, n_streams)
+        self._step = jax.jit(partial(encode_step, cfg, nbytes))
+        self.metrics = CodecMetrics()
+        self._frame_seconds = cfg.nf / cfg.fs
+
+    def encode(self, pcm: np.ndarray) -> np.ndarray:
+        """pcm int16 [S, nf] -> uint8 [S, nbytes]."""
+        self.state, fields = self._step(self.state, pcm)
+        fields = {k: np.asarray(v) for k, v in fields.items()}
+        self.metrics.record_encode(self.n_streams, self._frame_seconds)
+        if native.available():
+            return native.pack_frames_native(self.cfg, fields, self.nbytes)
+        rows = pack_frames(self.cfg, fields, self.nbytes)
+        return np.frombuffer(b"".join(rows), np.uint8).reshape(
+            self.n_streams, self.nbytes
+        )
