@@ -46,41 +46,65 @@ class BatchDecoder:
         return parse_frames(self.cfg, [bytes(r) for r in payloads])
 
     def decode(self, payloads: np.ndarray) -> np.ndarray:
-        frames = jax.device_put(self._parse(payloads))
+        host_frames = self._parse(payloads)
+        n_bad = int(np.asarray(host_frames.bad_frame).sum())  # host-side count
+        frames = jax.device_put(host_frames)
         self.state, pcm = self._step(self.state, frames)
-        self.metrics.record_decode(
-            self.n_streams, self._frame_seconds,
-            n_bad=int(np.asarray(frames.bad_frame).sum()),
-        )
+        self.metrics.record_decode(self.n_streams, self._frame_seconds, n_bad=n_bad)
         return np.asarray(pcm)
 
-    def decode_stream(self, payload_batches) -> list:
-        """Decode an iterable of [S, nbytes] batches with host/device overlap:
-        a prefetch thread parses batch k+1 while the device decodes batch k."""
+    def decode_stream(self, payload_batches, fetch: bool = True,
+                      pipeline: bool = False) -> list:
+        """Decode an iterable of [S, nbytes] batches.
+
+        pipeline=True overlaps host parsing of batch k+1 with the device DSP
+        of batch k via a prefetch thread (the right structure on real TPU
+        hosts; on this container's axon tunnel, cross-thread dispatch
+        serializes pathologically, hence the sequential default).
+        fetch=False keeps PCM on device for on-device consumers."""
+        if not pipeline:
+            outs = []
+            for batch in payload_batches:
+                host_frames = self._parse(batch)
+                n_bad = int(np.asarray(host_frames.bad_frame).sum())
+                frames = jax.device_put(host_frames)
+                jax.block_until_ready(frames)
+                self.state, pcm = self._step(self.state, frames)
+                self.metrics.record_decode(
+                    self.n_streams, self._frame_seconds, n_bad=n_bad
+                )
+                outs.append(np.asarray(pcm) if fetch else pcm)
+            if not fetch and outs:
+                jax.block_until_ready(outs[-1])
+            return outs
         q: queue.Queue = queue.Queue(maxsize=2)
 
         def producer():
             for batch in payload_batches:
-                frames = jax.device_put(self._parse(batch))
+                host_frames = self._parse(batch)
+                n_bad = int(np.asarray(host_frames.bad_frame).sum())
+                frames = jax.device_put(host_frames)
                 # ensure the host->device copy completes before the parse
                 # buffers get recycled
                 jax.block_until_ready(frames)
-                q.put(frames)
+                q.put((frames, n_bad))
             q.put(None)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
         outs = []
         while True:
-            frames = q.get()
-            if frames is None:
+            item = q.get()
+            if item is None:
                 break
+            frames, n_bad = item
             self.state, pcm = self._step(self.state, frames)
             self.metrics.record_decode(
-                self.n_streams, self._frame_seconds,
-                n_bad=int(np.asarray(frames.bad_frame).sum()),
+                self.n_streams, self._frame_seconds, n_bad=n_bad
             )
-            outs.append(np.asarray(pcm))
+            outs.append(np.asarray(pcm) if fetch else pcm)
+        if not fetch and outs:
+            jax.block_until_ready(outs[-1])
         th.join()
         return outs
 
