@@ -82,6 +82,65 @@ def _filter_params(p: DecoderParams, pitch_index):
     return p_up // 4, p_up - 4 * (p_up // 4)
 
 
+def _reach_back(p) -> int:
+    """Max denominator reach-back = max p_int + ceil(l_den/2).
+
+    TPU gathers with per-stream indices serialize (~20 ns/element measured
+    on v5e), so the filter passes avoid them entirely; this bound sizes the
+    per-block slab the funnel shifter selects from.
+    """
+    import numpy as np
+
+    pi = np.arange(512)
+    int_hi = pi - 283
+    int_mid = pi // 2 - 63
+    fr_mid = 2 * pi - 4 * int_mid - 252
+    int_lo = pi // 4 + 32
+    fr_lo = pi + 128 - 4 * int_lo
+    p12 = np.where(pi >= 440, int_hi, np.where(pi >= 380, int_mid, int_lo))
+    f12 = np.where(pi >= 440, 0, np.where(pi >= 380, fr_mid, fr_lo))
+    pitch = (p12.astype(np.float32) + f12.astype(np.float32) / np.float32(4.0))
+    p_up = (pitch * p.pitch_scale * np.float32(4.0) + np.float32(0.5)).astype(np.int32)
+    p_int_max = int((p_up // 4).max())
+    return p_int_max + (p.l_den - p.l_den // 2)
+
+
+def _funnel_rows(slab, off, width: int):
+    """w[s, j] = slab[s, off_s + j] for j in [0, width) — no gathers.
+
+    A log2-stage funnel shifter: each stage is a static slice pair plus a
+    per-stream select, all lane-parallel on the VPU. Caller guarantees
+    0 <= off <= slab.shape[1] - width.
+    """
+    sw = slab.shape[1]
+    nbits = max(1, (sw - width).bit_length())
+    cur = slab
+    for b in reversed(range(nbits)):
+        step = 1 << b
+        need = min(cur.shape[1], (step - 1) + width)
+        lo = jax.lax.slice_in_dim(cur, 0, need, axis=1)
+        if step + need <= cur.shape[1]:
+            hi = jax.lax.slice_in_dim(cur, step, step + need, axis=1)
+        else:
+            tail = jax.lax.slice_in_dim(cur, step, cur.shape[1], axis=1)
+            hi = jnp.pad(tail, ((0, 0), (0, step + need - cur.shape[1])))
+        bit = ((off >> b) & 1).astype(bool)[:, None]
+        cur = jnp.where(bit, hi, lo)
+        off = off - jnp.where(bit[:, 0], step, 0)
+    return cur
+
+
+def _shifted_stack(win, l: int, B: int):
+    """[S, B+l] window -> [S, B, l+1] with vals[s, b, k] = win[s, l + b - k].
+
+    Static slices only; replaces the stream-invariant numerator gather.
+    """
+    return jnp.stack(
+        [jax.lax.slice_in_dim(win, l - k, l - k + B, axis=1) for k in range(l + 1)],
+        axis=2,
+    )
+
+
 def _blocked_filter_pass(p, xcat, ycat_init, num_src, c_num, c_den, p_int, fade, H):
     """Run the IIR in blocks of B samples.
 
@@ -90,43 +149,45 @@ def _blocked_filter_pass(p, xcat, ycat_init, num_src, c_num, c_den, p_int, fade,
     d = p_int - l_den//2, and y[n] = base[n] - fade[n]*filt(n); base is
     num_src at offset (x for the normal cases, scratch for case-5 fade-in).
     Returns the filled ycat.
+
+    Gather-free: numerator windows are stream-invariant (dynamic_slice +
+    static shifts); denominator windows sit at a per-stream but
+    frame-constant offset (pitch lag), extracted by a funnel shifter from a
+    per-block slab.
     """
     nf = p.nf
     B = 16 if nf % 16 == 0 else 15
     nblocks = nf // B
     l_num, l_den = p.l_num, p.l_den
     S = xcat.shape[0]
+    rb = _reach_back(p)
+    assert H >= rb, (H, rb)
+    ceil_half = l_den - l_den // 2
+    W = B + l_den
+    sw = rb + W  # slab width; off in [0, rb]
+    off = jnp.clip(rb - p_int - ceil_half, 0, sw - W)
 
-    koff_num = jnp.arange(l_num + 1)  # [K1]
-    koff_den = jnp.arange(l_den + 1)  # [K2]
+    # right-pad so the last block's slab never clamps (pad is never written)
+    ycat_init = jnp.pad(ycat_init, ((0, 0), (0, l_den)))
 
     def block(ycat, bi):
-        n = bi * B + jnp.arange(B)  # [B]
-        # numerator: gather [S, B, K1] from num_src at H + n - k
-        num_idx = (H + n)[None, :, None] - koff_num[None, None, :]
-        num_idx = jnp.broadcast_to(num_idx, (S, B, l_num + 1))
-        num_vals = jnp.take_along_axis(
-            num_src, num_idx.reshape(S, -1), axis=1, mode="clip"
-        ).reshape(S, B, l_num + 1)
+        win = jax.lax.dynamic_slice_in_dim(num_src, H + bi * B - l_num, B + l_num, axis=1)
+        num_vals = _shifted_stack(win, l_num, B)
         num = jnp.einsum("sbk,sk->sb", num_vals, c_num, preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST)
 
-        den_start = H + n[None, :] - p_int[:, None] + l_den // 2  # [S,B]
-        den_idx = den_start[:, :, None] - koff_den[None, None, :]
-        den_idx = jnp.clip(den_idx, 0, ycat.shape[1] - 1)
-        den_vals = jnp.take_along_axis(
-            ycat, den_idx.reshape(S, -1), axis=1, mode="clip"
-        ).reshape(S, B, l_den + 1)
+        slab = jax.lax.dynamic_slice_in_dim(ycat, H + bi * B - rb, sw, axis=1)
+        w = _funnel_rows(slab, off, W)  # w[s,j] = ycat[s, H+bi*B - p_int - ceil_half + j]
+        den_vals = _shifted_stack(w, l_den, B)
         den = jnp.einsum("sbk,sk->sb", den_vals, c_den, preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST)
 
-        base = jax.lax.dynamic_slice_in_dim(num_src, H, nf, axis=1)
-        base_blk = jax.lax.dynamic_slice_in_dim(base, bi * B, B, axis=1)
+        base_blk = jax.lax.dynamic_slice_in_dim(num_src, H + bi * B, B, axis=1)
         fade_blk = jax.lax.dynamic_slice_in_dim(fade, bi * B, B, axis=0)
         y_blk = base_blk - fade_blk[None, :] * (num - den)
         ycat = jax.lax.dynamic_update_slice_in_dim(ycat, y_blk, H + bi * B, axis=1)
         return ycat, None
 
     ycat, _ = jax.lax.scan(block, ycat_init, jnp.arange(nblocks))
-    return ycat
+    return ycat[:, : H + nf]
 
 
 def ltpf_run(p: DecoderParams, st: LtpfState, x, nbits: int, active, pitch_index):
@@ -228,34 +289,34 @@ def _blocked_filter_pass_perstream(
     B = 16 if nf % 16 == 0 else 15
     nblocks = nf // B
     l_num, l_den = p.l_num, p.l_den
-    S = xcat.shape[0]
-    koff_num = jnp.arange(l_num + 1)
-    koff_den = jnp.arange(l_den + 1)
+    rb = _reach_back(p)
+    assert H >= rb, (H, rb)
+    ceil_half = l_den - l_den // 2
+    W = B + l_den
+    sw = rb + W
+    off = jnp.clip(rb - p_int - ceil_half, 0, sw - W)
 
-    def gather_num(src, n):
-        idx = (H + n)[None, :, None] - koff_num[None, None, :]
-        idx = jnp.broadcast_to(idx, (S, B, l_num + 1))
-        return jnp.take_along_axis(src, idx.reshape(S, -1), axis=1, mode="clip").reshape(
-            S, B, l_num + 1
-        )
+    ycat_init = jnp.pad(ycat_init, ((0, 0), (0, l_den)))
+
+    def num_windows(src, bi):
+        win = jax.lax.dynamic_slice_in_dim(src, H + bi * B - l_num, B + l_num, axis=1)
+        return _shifted_stack(win, l_num, B)
 
     def block(ycat, bi):
-        n = bi * B + jnp.arange(B)
         sel = jax.lax.dynamic_slice_in_dim(use_scratch, bi * B, B, axis=1)  # [S,B]
         num_x = jnp.einsum(
-            "sbk,sk->sb", gather_num(num_src_x, n), c_num, preferred_element_type=F32
+            "sbk,sk->sb", num_windows(num_src_x, bi), c_num,
+            preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST,
         )
         num_s = jnp.einsum(
-            "sbk,sk->sb", gather_num(num_src_scr, n), c_num, preferred_element_type=F32
+            "sbk,sk->sb", num_windows(num_src_scr, bi), c_num,
+            preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST,
         )
         num = jnp.where(sel, num_s, num_x)
 
-        den_start = H + n[None, :] - p_int[:, None] + l_den // 2
-        den_idx = den_start[:, :, None] - koff_den[None, None, :]
-        den_idx = jnp.clip(den_idx, 0, ycat.shape[1] - 1)
-        den_vals = jnp.take_along_axis(
-            ycat, den_idx.reshape(S, -1), axis=1, mode="clip"
-        ).reshape(S, B, l_den + 1)
+        slab = jax.lax.dynamic_slice_in_dim(ycat, H + bi * B - rb, sw, axis=1)
+        w = _funnel_rows(slab, off, W)
+        den_vals = _shifted_stack(w, l_den, B)
         den = jnp.einsum("sbk,sk->sb", den_vals, c_den, preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST)
 
         base_x = jax.lax.dynamic_slice_in_dim(num_src_x, H + bi * B, B, axis=1)
@@ -267,4 +328,4 @@ def _blocked_filter_pass_perstream(
         return ycat, None
 
     ycat, _ = jax.lax.scan(block, ycat_init, jnp.arange(nblocks))
-    return ycat
+    return ycat[:, : H + nf]
