@@ -313,13 +313,9 @@ def device_parse(cfg: Lc3Config, nbytes: int, payloads: jax.Array) -> ParsedFram
     bit = read_cursor & 7
     idx = jnp.clip(nbytes - 1 - byte_index, 0, nbytes - 1)
     bytes_g = jnp.take_along_axis(buf, idx, 1)
-    res_bit_lines = (((bytes_g >> bit) & 1) != 0) & can_read
-    # compact: residual_bits[j] = bit at the j-th nonzero line
-    order = jnp.where(can_read, bitpos, ne)
-    zeros_row = jnp.zeros((ne,), bool)
-    residual_bits = jax.vmap(lambda o, v: zeros_row.at[o].set(v, mode="drop"))(
-        order, res_bit_lines
-    )
+    # residual_bits is spectrally aligned (bit for line k lives at index k),
+    # matching the host parsers — no compaction scatter needed
+    residual_bits = (((bytes_g >> bit) & 1) != 0) & can_read
     n_residual = jnp.where(lsb_mode, 0, jnp.sum(can_read, axis=1)).astype(I32)
 
     # lsb path: sequential budgeted refinement (mutates x) — scan over tuples.

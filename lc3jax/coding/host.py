@@ -65,7 +65,10 @@ def parse_frames(cfg: Lc3Config, payloads: list[bytes]) -> ParsedFrames:
         nf_seed[s] = arith.noise_filling_seed
         zero_frame[s] = arith.is_zero_frame
         nres = len(arith.residual_bits)
-        residual_bits[s, :nres] = arith.residual_bits
+        # aligned at the spectral line of each nonzero coefficient (not rank
+        # order) so the device-side residual_apply needs no gather
+        pos = np.flatnonzero(np.asarray(x, np.int64))[:nres]
+        residual_bits[s, pos] = arith.residual_bits
         n_residual[s] = nres
 
         sns = side.sns_vq
@@ -154,7 +157,9 @@ def pack_frames(cfg: Lc3Config, fields: dict, nbytes: int) -> list[bytes]:
             nbits_lsb=int(f["quant_nbits_lsb"][s]),
         )
         nres = int(f["n_residual"][s])
-        res_bits = [bool(b) for b in f["residual_bits"][s][:nres]]
+        # residual_bits is spectrally aligned; emit in nonzero-line order
+        pos = np.flatnonzero(f["x_q"][s])[:nres]
+        res_bits = [bool(b) for b in f["residual_bits"][s][pos]]
         out.append(
             be.encode(
                 int(f["bandwidth"][s]), int(f["nbits_bw"]), sns, tns, ltpf, spec,

@@ -21,6 +21,7 @@ import numpy as np
 
 from .. import tables as T
 from ..config import FrameDuration, Lc3Config
+from .gatherfree import funnel_rows
 
 F32 = jnp.float32
 
@@ -151,16 +152,22 @@ def ltpf_analysis(cfg: Lc3Config, st: LtpfEncState, x_s, near_nyquist, nbits: in
     )
     lag_t2 = jnp.argmax(jnp.where(in_win, r, -jnp.inf), axis=1) + K_MIN
 
+    # per-stream scalar picks as masked sums (TPU gathers serialize)
+    wins = jnp.stack(
+        [x64[:, K_MAX - d : K_MAX - d + len64] for d in range(K_MAX + 1)], axis=1
+    )
+    v_all = jnp.sum(wins * wins, axis=2)  # [S, K_MAX+1]
+
     def normvalue(lag):
-        wins = jnp.stack(
-            [x64[:, K_MAX - d : K_MAX - d + len64] for d in range(K_MAX + 1)], axis=1
-        )
-        v = jnp.sum(wins * wins, axis=2)  # [S, K_MAX+1]
-        return jnp.take_along_axis(v, lag[:, None], axis=1)[:, 0]
+        sel = lag[:, None] == jnp.arange(K_MAX + 1)[None, :]
+        return jnp.sum(jnp.where(sel, v_all, 0.0), axis=1)
 
     nv0 = normvalue(jnp.zeros(S, jnp.int32))
     nv1 = normvalue(lag_t1)
-    r_at = lambda lag: jnp.take_along_axis(r, (lag - K_MIN)[:, None], axis=1)[:, 0]
+
+    def r_at(lag):
+        sel = (lag - K_MIN)[:, None] == jnp.arange(nlags)[None, :]
+        return jnp.sum(jnp.where(sel, r, 0.0), axis=1)
     nc1 = jnp.maximum(F32(0.0), r_at(lag_t1) / jnp.sqrt(nv0 * nv1))
     nv2 = normvalue(lag_t2)
     nc2_raw = jnp.maximum(F32(0.0), r_at(lag_t2) / jnp.sqrt(nv0 * nv2))
@@ -176,31 +183,44 @@ def ltpf_analysis(cfg: Lc3Config, st: LtpfEncState, x_s, near_nyquist, nbits: in
     k_min2 = jnp.maximum(32, 2 * t_current - 4)
     k_max2 = jnp.minimum(228, 2 * t_current + 4)
     cur12 = x12[:, NMEM : NMEM + len12]
-    # r12 for k in [k_min2-4, k_max2+4]: 17 lags max
+    # r12 for k in [k_min2-4, k_max2+4]: 17 consecutive lags, so the 17
+    # windows x12[NMEM - k : NMEM - k + len12] live in one contiguous span
+    # of width len12+16 at a per-stream offset — one funnel extract plus
+    # static shifts, no gather. Left-pad by 4 so the offset never clamps
+    # (kvals > 228 can reach index -4; those lags are masked invalid below).
     koffs = jnp.arange(17)
     kvals = (k_min2 - 4)[:, None] + koffs[None, :]  # [S,17]
-    # gather windows x12[NMEM - k : NMEM - k + len12]
-    npos = jnp.arange(len12)
-    gidx = (NMEM - kvals)[:, :, None] + npos[None, None, :]  # [S,17,len12]
-    wins12 = jnp.take_along_axis(
-        x12, jnp.clip(gidx, 0, x12.shape[1] - 1).reshape(S, -1), axis=1
-    ).reshape(S, 17, len12)
+    x12p = jnp.pad(x12, ((0, 0), (4, 0)))
+    woff = NMEM + 4 - k_min2 - 12  # offset of the span start in x12p
+    w12 = funnel_rows(x12p, woff, len12 + 16)
+    wins12 = jnp.stack(
+        [jax.lax.slice_in_dim(w12, 16 - k, 16 - k + len12, axis=1) for k in range(17)],
+        axis=1,
+    )  # wins12[s,k,n] = x12[NMEM - (k_min2-4+k) + n]
     r12 = jnp.einsum("skn,sn->sk", wins12, cur12, preferred_element_type=F32,
                      precision=HIGHEST)
     valid_k = (kvals >= k_min2[:, None]) & (kvals <= k_max2[:, None])
     best_rel = jnp.argmax(jnp.where(valid_k, r12, -jnp.inf), axis=1)
     pitch_int = (k_min2 - 4) + best_rel
 
-    # fractional refinement via TAB_LTPF_INTERP_R
+    # fractional refinement via TAB_LTPF_INTERP_R; pre-select the 9 r12
+    # values around best_rel via masked sums (no per-stream gathers)
     interp_tab = jnp.asarray(T.TAB_LTPF_INTERP_R)
+    lane17 = jnp.arange(17)[None, :]
+    r12_at = {
+        m: jnp.sum(
+            jnp.where(jnp.clip(best_rel + m, 0, 16)[:, None] == lane17, r12, 0.0),
+            axis=1,
+        )
+        for m in range(-4, 5)
+    }
 
-    def interp_at(d):  # d in -3..3; r12 window around best_rel
+    def interp_at(d):  # d in -3..3
         total = jnp.zeros(S, F32)
         for m in range(-4, 5):
             nidx = 4 * m - d
             if -16 < nidx < 16:
-                ridx = jnp.clip(best_rel + m, 0, 16)
-                total = total + jnp.take_along_axis(r12, ridx[:, None], 1)[:, 0] * interp_tab[nidx + 15]
+                total = total + r12_at[m] * interp_tab[nidx + 15]
         return total
 
     interp_vals = jnp.stack([interp_at(d) for d in range(-3, 4)], axis=1)  # [S,7] d=-3..3
@@ -234,27 +254,29 @@ def ltpf_analysis(cfg: Lc3Config, st: LtpfEncState, x_s, near_nyquist, nbits: in
     )
 
     # ---- activation bit
-    h_tab = jnp.asarray(T.TAB_LTPF_INTERP_X12K8)  # [15]
+    # x(i)(n,d) = sum_k x12[NMEM + off + n - k] * h[4k - d + 7], k=-2..2.
+    # no_delay has stream-invariant indices (static slices); shifted reads a
+    # contiguous window at per-stream offset NMEM - pitch_int (one funnel),
+    # and its per-stream taps h[4k - pitch_fr + 7] are a 4-way select on
+    # pitch_fr in [0,3]. Same k order and 0-taps as the reference walk, so
+    # the f32 sums are bit-identical.
+    h_np = np.asarray(T.TAB_LTPF_INTERP_X12K8, np.float32)  # [15]
 
-    def dotp(offsets, d):
-        """x(i)(n,d) = sum_k x12[NMEM + n - k] * h[4k - d + 7], k=-2..2."""
-        total = jnp.zeros((S, len12), F32)
-        for k in range(-2, 3):
-            hidx = 4 * k - d  # d is [S] dynamic -> gather taps
-            # hidx in (-8,8) iff valid; build per-stream tap via gather
-            tap = jnp.where(
-                (hidx > -8) & (hidx < 8), h_tab[jnp.clip(hidx + 7, 0, 14)], 0.0
-            )
-            idx = NMEM + offsets + jnp.arange(len12)[None, :] - k
-            vals = jnp.take_along_axis(
-                x12, jnp.clip(idx, 0, x12.shape[1] - 1), axis=1
-            )
-            total = total + vals * tap[:, None] if tap.ndim else total + vals * tap
-        return total
+    def h_at(hidx: int) -> float:
+        return float(h_np[hidx + 7]) if -8 < hidx < 8 else 0.0
 
-    zero_off = jnp.zeros((S, 1), jnp.int32)
-    no_delay = dotp(zero_off, jnp.zeros(S, jnp.int32))
-    shifted = dotp(-pitch_int[:, None], pitch_fr)
+    no_delay = jnp.zeros((S, len12), F32)
+    for k in range(-2, 3):
+        no_delay = no_delay + x12[:, NMEM - k : NMEM - k + len12] * F32(h_at(4 * k))
+
+    wsh = funnel_rows(x12, NMEM - pitch_int - 2, len12 + 4)  # [S, len12+4]
+    shifted = jnp.zeros((S, len12), F32)
+    for k in range(-2, 3):
+        tap = jnp.zeros(S, F32)
+        for dd in range(4):
+            tap = jnp.where(pitch_fr == dd, F32(h_at(4 * k - dd)), tap)
+        vals = jax.lax.slice_in_dim(wsh, 2 - k, 2 - k + len12, axis=1)
+        shifted = shifted + vals * tap[:, None]
     nc_num = jnp.sum(no_delay * shifted, axis=1)
     denom = jnp.sqrt(jnp.sum(no_delay * no_delay, axis=1) * jnp.sum(shifted * shifted, axis=1))
     nc = jnp.where(denom > 0.0, nc_num / denom, 0.0)

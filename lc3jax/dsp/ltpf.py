@@ -105,40 +105,8 @@ def _reach_back(p) -> int:
     return p_int_max + (p.l_den - p.l_den // 2)
 
 
-def _funnel_rows(slab, off, width: int):
-    """w[s, j] = slab[s, off_s + j] for j in [0, width) — no gathers.
-
-    A log2-stage funnel shifter: each stage is a static slice pair plus a
-    per-stream select, all lane-parallel on the VPU. Caller guarantees
-    0 <= off <= slab.shape[1] - width.
-    """
-    sw = slab.shape[1]
-    nbits = max(1, (sw - width).bit_length())
-    cur = slab
-    for b in reversed(range(nbits)):
-        step = 1 << b
-        need = min(cur.shape[1], (step - 1) + width)
-        lo = jax.lax.slice_in_dim(cur, 0, need, axis=1)
-        if step + need <= cur.shape[1]:
-            hi = jax.lax.slice_in_dim(cur, step, step + need, axis=1)
-        else:
-            tail = jax.lax.slice_in_dim(cur, step, cur.shape[1], axis=1)
-            hi = jnp.pad(tail, ((0, 0), (0, step + need - cur.shape[1])))
-        bit = ((off >> b) & 1).astype(bool)[:, None]
-        cur = jnp.where(bit, hi, lo)
-        off = off - jnp.where(bit[:, 0], step, 0)
-    return cur
-
-
-def _shifted_stack(win, l: int, B: int):
-    """[S, B+l] window -> [S, B, l+1] with vals[s, b, k] = win[s, l + b - k].
-
-    Static slices only; replaces the stream-invariant numerator gather.
-    """
-    return jnp.stack(
-        [jax.lax.slice_in_dim(win, l - k, l - k + B, axis=1) for k in range(l + 1)],
-        axis=2,
-    )
+from .gatherfree import funnel_rows as _funnel_rows
+from .gatherfree import shifted_stack as _shifted_stack
 
 
 def _blocked_filter_pass(p, xcat, ycat_init, num_src, c_num, c_den, p_int, fade, H):

@@ -298,7 +298,10 @@ static bool parse_one(const uint8_t* buf, int nbytes, int fs_ind, int ne,
     for (int k = 0; k < ne; k++) {
       if (x[k] != 0) {
         if (nres == nres_avail) break;
-        residual_bits[nres++] = r.tail_bool();
+        // aligned at the spectral line (not rank order) so the device-side
+        // residual_apply needs no gather
+        residual_bits[k] = r.tail_bool();
+        nres++;
       }
     }
   } else {
@@ -572,8 +575,16 @@ static void pack_one(const EncFields& f, int ne, uint8_t* out, int nbytes) {
   int nbits_ari = st.forecast(w);
   int nres_enc = std::max(0, nbits - (nbits_side + nbits_ari));
   if (!f.lsb_mode) {
+    // res_bits is spectrally aligned (bit for line k at index k); emit in
+    // nonzero-line order, which is how the decoder consumes them
     int n = std::min(nres_enc, f.n_res);
-    for (int i = 0; i < n; i++) w.bool_backward(f.res_bits[i]);
+    int emitted = 0;
+    for (int k = 0; k < ne && emitted < n; k++) {
+      if (f.x_q[k] != 0) {
+        w.bool_backward(f.res_bits[k] != 0);
+        emitted++;
+      }
+    }
   } else {
     int n = std::min(nres_enc, int(lsbs.size()));
     for (int i = 0; i < n; i++) w.bool_backward(lsbs[i] == 1);

@@ -45,11 +45,14 @@ def run_trace(kind: str, n_streams: int, steps: int, trace_dir: str) -> None:
     payload = bytes(enc.encode_frame(0, pcm, nbytes))
     batch = np.tile(np.frombuffer(payload, np.uint8), (n_streams, 1))
 
-    if kind == "decode":
+    if kind in ("decode", "decode_pallas"):
         from lc3jax.dsp.decoder import decode_step, decoder_init
 
         frames = jax.device_put(native.parse_frames_native(cfg, batch))
-        step = jax.jit(functools.partial(decode_step, cfg, nbytes * 8))
+        step = jax.jit(
+            functools.partial(decode_step, cfg, nbytes * 8,
+                              use_pallas=kind == "decode_pallas")
+        )
         state = decoder_init(cfg, n_streams)
         st, out = step(state, frames)
         jax.block_until_ready((st, out))
