@@ -67,22 +67,19 @@ def main() -> None:
         host_parse_s = time.perf_counter() - t0
     host_rtf = n_streams * frame_seconds / host_parse_s
 
-    # ---- device decode DSP
+    # ---- device decode DSP (trace-based: the device's own clock; host
+    # wall-clock over the axon tunnel under-reports because dispatch is
+    # asynchronous and block_until_ready does not fence)
     from functools import partial
 
     from lc3jax.dsp.decoder import decode_step
+    from lc3jax.profiling import device_step_ms
 
     frames_dev = jax.device_put(frames)
     dstate = decoder_init(cfg, n_streams)
     dstep = jax.jit(partial(decode_step, cfg, nbytes * 8))  # no donation: timing
-    dstate, pcm = dstep(dstate, frames_dev)
-    jax.block_until_ready((dstate, pcm))
-    iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        dstate, pcm = dstep(dstate, frames_dev)
-    jax.block_until_ready((dstate, pcm))
-    dec_s = (time.perf_counter() - t0) / iters
+    dec_ms = device_step_ms(dstep, dstate, (frames_dev,), steps=10)
+    dec_s = dec_ms / 1e3
     dec_rtf = n_streams * frame_seconds / dec_s
 
     # ---- device encode DSP
@@ -91,14 +88,11 @@ def main() -> None:
     pcm_dev = jax.device_put(pcm_batch)
     estate = encoder_init(cfg, n_streams)
     estep = jax.jit(partial(encode_step, cfg, nbytes))
+    enc_ms = device_step_ms(estep, estate, (pcm_dev,), steps=10)
+    enc_s = enc_ms / 1e3
+    enc_rtf = n_streams * frame_seconds / enc_s
     estate, fields = estep(estate, pcm_dev)
     jax.block_until_ready((estate, fields))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        estate, fields = estep(estate, pcm_dev)
-    jax.block_until_ready((estate, fields))
-    enc_s = (time.perf_counter() - t0) / iters
-    enc_rtf = n_streams * frame_seconds / enc_s
 
     # ---- host pack (encoder side)
     if use_native:

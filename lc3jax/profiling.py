@@ -24,6 +24,69 @@ def trace(log_dir: str = "/tmp/lc3jax-trace"):
         jax.profiler.stop_trace()
 
 
+def device_step_ms(step_fn, init_carry, step_args, steps: int = 10,
+                   trace_dir: str | None = None) -> float:
+    """Ground-truth per-step device time from a profiler trace.
+
+    Runs `carry = step_fn(carry, *step_args)[0]` (step_fn returns
+    (carry, out)) `steps` times under jax.profiler.trace and returns the
+    median XLA-module duration in ms, measured on the device's own clock.
+
+    This is the only trustworthy timing on hosts where dispatch is
+    asynchronous and jax.block_until_ready does not fence execution (the
+    axon TPU tunnel: host wall-clock under-reports a 1009 ms step as
+    0.06 ms). On a normal backend it simply reads what xprof would show.
+    """
+    import glob
+    import gzip
+    import json
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    carry, out = step_fn(init_carry, *step_args)  # warm compile
+    jax.block_until_ready((carry, out))
+    own_dir = trace_dir is None
+    if own_dir:
+        trace_dir = tempfile.mkdtemp(prefix="lc3jax-devtime-")
+    try:
+        jax.profiler.start_trace(trace_dir)
+        carry = init_carry
+        for _ in range(steps):
+            carry, out = step_fn(carry, *step_args)
+        jax.block_until_ready((carry, out))
+        _time.sleep(1.5)  # let the collector drain
+        jax.profiler.stop_trace()
+
+        paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                          recursive=True)
+        if not paths:
+            return 0.0
+        with gzip.open(max(paths, key=os.path.getmtime)) as f:
+            data = json.load(f)
+        ev = data["traceEvents"]
+        pids = {e["pid"]: e["args"]["name"] for e in ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"}
+        dev = next((p for p, n in pids.items() if "TPU" in n or "GPU" in n), None)
+        if dev is None:  # CPU backend: fall back to host lane totals
+            dev = next((p for p, n in pids.items() if "CPU" in n), None)
+        tids = {(e["pid"], e["tid"]): e["args"]["name"] for e in ev
+                if e.get("ph") == "M" and e.get("name") == "thread_name"}
+        mod_tid = next((t for (p, t), n in tids.items()
+                        if p == dev and n == "XLA Modules"), None)
+        if mod_tid is None:
+            return 0.0
+        durs = sorted(e["dur"] for e in ev if e.get("ph") == "X"
+                      and e["pid"] == dev and e["tid"] == mod_tid)
+        if not durs:
+            return 0.0
+        return durs[len(durs) // 2] / 1e3
+    finally:
+        if own_dir:
+            shutil.rmtree(trace_dir, ignore_errors=True)
+
+
 class StepTimer:
     """Blocking per-step wall timer for quick kernel triage."""
 
