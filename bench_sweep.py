@@ -14,12 +14,13 @@ from functools import partial
 import numpy as np
 
 
-def bench_config(cfg, nbytes, n_streams=1024, iters=20):
+def bench_config(cfg, nbytes, n_streams=1024, steps=6):
     import jax
 
     from lc3jax.coding import native
     from lc3jax.dsp.decoder import decode_step, decoder_init
     from lc3jax.dsp.encoder import encode_step, encoder_init
+    from lc3jax.profiling import device_step_ms
     from lc3jax.ref.encoder import Lc3Encoder
 
     frame_seconds = cfg.nf / cfg.fs
@@ -32,24 +33,14 @@ def bench_config(cfg, nbytes, n_streams=1024, iters=20):
     frames = jax.device_put(native.parse_frames_native(cfg, arr))
     dstate = decoder_init(cfg, n_streams)
     dstep = jax.jit(partial(decode_step, cfg, nbytes * 8))
-    dstate, out = dstep(dstate, frames)
-    jax.block_until_ready((dstate, out))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        dstate, out = dstep(dstate, frames)
-    jax.block_until_ready((dstate, out))
-    dec_rtf = n_streams * frame_seconds / ((time.perf_counter() - t0) / iters)
+    dec_ms = device_step_ms(dstep, dstate, (frames,), steps=steps)
+    dec_rtf = n_streams * frame_seconds / (dec_ms / 1e3)
 
     pcm_b = jax.device_put(np.tile(pcm, (n_streams, 1)))
     estate = encoder_init(cfg, n_streams)
     estep = jax.jit(partial(encode_step, cfg, nbytes))
-    estate, fields = estep(estate, pcm_b)
-    jax.block_until_ready((estate, fields))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        estate, fields = estep(estate, pcm_b)
-    jax.block_until_ready((estate, fields))
-    enc_rtf = n_streams * frame_seconds / ((time.perf_counter() - t0) / iters)
+    enc_ms = device_step_ms(estep, estate, (pcm_b,), steps=steps)
+    enc_rtf = n_streams * frame_seconds / (enc_ms / 1e3)
     return dec_rtf, enc_rtf
 
 

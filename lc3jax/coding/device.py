@@ -12,13 +12,17 @@ raising — the same recovery contract as the host paths.
 Fused with lc3jax.dsp.decoder.decode_step this yields a single XLA program
 from frame bytes to PCM (see decode_bytes_step).
 
-Performance note (measured, TPU v5e): the range decoder's per-stream
-divergent byte gathers serialize badly on the vector units — the fused
-bytes->PCM step runs ~14x realtime/chip vs ~320,000x for the DSP alone,
-i.e. ~100x slower than the threaded C++ host parse (lc3jax/coding/native).
-The production pipeline therefore keeps bitstream parsing on host; this
-module exists for completeness (bit-exact vs the host parser, incl.
-lsb-mode and corrupt-frame flagging) and for host-less deployments.
+Performance note (TPU v5e): the range decoder is symbol-serial (a
+lax.scan over ne/2 tuples) and does per-stream divergent byte gathers,
+which serialize at ~20 ns/element on the vector units. D2H-fenced
+measurements put the fused bytes->PCM step at roughly 0.3-1 s per
+2048-stream step (~20-70x realtime/chip; the xprof profiler errors on
+this program, so no exact device-clock number) vs 0.8 ms for the DSP
+alone — i.e. the parse dominates by ~3 orders of magnitude. The
+production pipeline therefore keeps bitstream parsing in threaded host
+C++ (lc3jax/coding/native, ~4 us/frame/core); this module exists for
+completeness (bit-exact vs the host parser, incl. lsb-mode and
+corrupt-frame flagging) and for host-less deployments.
 
 Reference semantics: decoder/side_info_reader.rs, decoder/buffer_reader.rs,
 decoder/arithmetic_codec.rs, decoder/spectral_noise_shaping.rs:155-199.

@@ -595,8 +595,12 @@ def _mpvq_enum_batch(y, dims):
 # (continued in this module)
 
 
-def tns_analysis_batch(p: EncoderParams, x, bw_ind, nbits: int, near_nyquist):
-    """TNS: masked autocorrelation + unrolled Levinson + lattice scan."""
+def tns_analysis_batch(p: EncoderParams, x, bw_ind, nbits: int, near_nyquist,
+                       use_pallas: bool | None = None):
+    """TNS: masked autocorrelation + unrolled Levinson + lattice filtering.
+
+    The forward lattice runs as a fused Pallas kernel on TPU (default;
+    bit-identical to the lax.scan fallback used elsewhere)."""
     cfg = p.cfg
     S = x.shape[0]
     ne = cfg.ne
@@ -718,7 +722,18 @@ def tns_analysis_batch(p: EncoderParams, x, bw_ind, nbits: int, near_nyquist):
         ).astype(jnp.int32)
         nbits_tns = nbits_tns + jnp.where(f < num_filters, add, 0)
 
-    # lattice analysis filtering: scan over lines
+    # lattice analysis filtering
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon") and S % 128 == 0
+    if use_pallas:
+        from .pallas_tns import tns_analysis_pallas
+
+        x_f = tns_analysis_pallas(p, x, bounds, rc_order, num_filters, rc_q)
+        return x_f, dict(
+            nbits_tns=nbits_tns, lpc_weighting=lpc_weighting,
+            num_tns_filters=num_filters, rc_order=rc_order, rc_i=rc_i,
+        )
+
     def step(carry, xs):
         st = carry  # [S,8]
         x_n, n = xs

@@ -67,6 +67,90 @@ def _tns_kernel(ne: int, x_ref, rc_ref, bounds_ref, order_ref, out_ref, state):
     jax.lax.fori_loop(0, ne, body, 0)
 
 
+def _tns_enc_kernel(ne: int, x_ref, rc_ref, bounds_ref, order_ref, out_ref, state):
+    """Forward (analysis) lattice, encoder/temporal_noise_shaping.rs:76-110.
+
+    Same layout as the synthesis kernel: streams on lanes, state [8, LANES]
+    in VMEM scratch, taps unrolled.
+    """
+    state[...] = jnp.zeros((8, LANES), F32)
+
+    lo0 = bounds_ref[0, :]
+    hi0 = bounds_ref[1, :]
+    lo1 = bounds_ref[2, :]
+    hi1 = bounds_ref[3, :]
+    ord0 = order_ref[0, :]
+    ord1 = order_ref[1, :]
+    lane8 = [jnp.full((LANES,), k, jnp.int32) for k in range(8)]
+
+    def body(n, _):
+        xv = x_ref[n, :]
+        in_f0 = (n >= lo0) & (n < hi0) & (ord0 > 0)
+        in_f1 = (n >= lo1) & (n < hi1) & (ord1 > 0)
+        active = in_f0 | in_f1
+        order = jnp.where(in_f1, ord1, ord0)
+
+        t = xv
+        st_save = t
+        new_rows = {}
+        for kk in range(7):
+            rc_k = jnp.where(in_f1, rc_ref[8 + kk, :], rc_ref[kk, :])
+            s_k = state[kk, :]
+            m = kk < order - 1
+            st_tmp = rc_k * t + s_k
+            t = jnp.where(m, t + rc_k * s_k, t)
+            new_rows[kk] = jnp.where(m & active, st_save, s_k)
+            st_save = jnp.where(m, st_tmp, st_save)
+        last = jnp.clip(order - 1, 0, 7)
+        rc_last = jnp.zeros((LANES,), F32)
+        st_last = jnp.zeros((LANES,), F32)
+        for k in range(8):
+            sel = last == lane8[k]
+            rc_k = jnp.where(in_f1, rc_ref[8 + k, :], rc_ref[k, :])
+            sk = new_rows[k] if k < 7 else state[7, :]
+            rc_last = jnp.where(sel, rc_k, rc_last)
+            st_last = jnp.where(sel, sk, st_last)
+        t = jnp.where(active, t + rc_last * st_last, xv)
+        for k in range(8):
+            base = new_rows[k] if k < 7 else state[7, :]
+            state[k, :] = jnp.where(active & (last == lane8[k]), st_save, base)
+        out_ref[n, :] = t
+        return 0
+
+    jax.lax.fori_loop(0, ne, body, 0)
+
+
+def tns_analysis_pallas(p, x, bounds, rc_order, num_filters, rc_q,
+                        interpret: bool = False):
+    """Drop-in for the analysis lattice scan in dsp.encoder.tns_analysis_batch.
+
+    x [S, ne]; bounds [S,2,2]; rc_order [S,2]; num_filters [S]; rc_q [S,16].
+    S must be a multiple of 128.
+    """
+    S, ne = x.shape
+    assert S % LANES == 0, "pad the stream axis to a multiple of 128"
+    bounds_t = bounds.reshape(S, 4).T.astype(jnp.int32)
+    # fold the num_filters>1 gate into the second filter's order
+    ord1 = jnp.where(num_filters > 1, rc_order[:, 1], 0)
+    order_t = jnp.stack([rc_order[:, 0], ord1]).astype(jnp.int32)
+
+    out_t = pl.pallas_call(
+        partial(_tns_enc_kernel, ne),
+        out_shape=jax.ShapeDtypeStruct((ne, S), F32),
+        grid=(S // LANES,),
+        in_specs=[
+            pl.BlockSpec((ne, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ne, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, LANES), F32)],
+        interpret=interpret,
+    )(x.T, rc_q.T, bounds_t, order_t)
+    return out_t.T
+
+
 def tns_synthesis_pallas(p: DecoderParams, x, bandwidth, rc_order, rc_i,
                          interpret: bool = False):
     """Drop-in for dsp.decoder.tns_synthesis: x [S, ne] -> [S, ne].
