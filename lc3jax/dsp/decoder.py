@@ -362,6 +362,7 @@ def decode_step(
         p, state.ltpf, t, nbits,
         frames.ltpf_active & ~frames.bad_frame,
         jnp.where(frames.bad_frame, 0, frames.pitch_index),
+        use_pallas=use_pallas and frames.x_int.shape[0] % 256 == 0,
     )
     pcm = output_scale(t)
     new_state = DecoderState(

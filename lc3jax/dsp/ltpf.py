@@ -158,8 +158,14 @@ def _blocked_filter_pass(p, xcat, ycat_init, num_src, c_num, c_den, p_int, fade,
     return ycat[:, : H + nf]
 
 
-def ltpf_run(p: DecoderParams, st: LtpfState, x, nbits: int, active, pitch_index):
-    """One batched LTPF frame: (state, x [S,nf]) -> (y [S,nf], state)."""
+def ltpf_run(p: DecoderParams, st: LtpfState, x, nbits: int, active, pitch_index,
+             use_pallas: bool = False, pallas_interpret: bool = False):
+    """One batched LTPF frame: (state, x [S,nf]) -> (y [S,nf], state).
+
+    use_pallas runs both filter passes as one VMEM-resident Pallas kernel
+    (pallas_ltpf.py) — same blocked-IIR + funnel-shifter algorithm, but
+    immune to the VMEM spill that makes the lax.scan path superlinear
+    beyond S~4096. Requires S % 256 == 0."""
     nf = p.nf
     S = x.shape[0]
     H = p.num_mem_blocks * nf
@@ -194,36 +200,45 @@ def ltpf_run(p: DecoderParams, st: LtpfState, x, nbits: int, active, pitch_index
     fade_up = jnp.where(n_idx < s2p5, n_idx.astype(F32) / norm, F32(1.0))
     fade_down = jnp.where(n_idx < s2p5, F32(1.0) - n_idx.astype(F32) / norm, F32(0.0))
 
-    # ---- pass A: fade-out with previous coefficients (cases 3, 5)
-    ycatA_init = jnp.concatenate([st.hist_y, jnp.zeros((S, nf), F32)], axis=1)
-    ycatA = _blocked_filter_pass(
-        p, xcat, ycatA_init, xcat, st.c_num, st.c_den, st.p_int, fade_down, H
-    )
-    yA = ycatA[:, H:]
-
-    # case-5 fade-in numerator source: snapshot of the faded-out output,
-    # laid out so index H + n - k hits scratch[l_num + n - k]
-    scratch_src = jnp.concatenate(
-        [jnp.zeros((S, H - p.l_num), F32), ycatA[:, H - p.l_num : H], yA], axis=1
-    )
-
-    # ---- pass B: final output with new coefficients
-    # base/num source: x for cases 2/4 and beyond the fade region; scratch in
-    # the case-5 fade region
     in_fade = (n_idx < s2p5)[None, :]
     # case-5 fade-in samples (n < s2p5) read base and numerator from the
-    # scratch snapshot (:352-377); everything else reads the raw input. The
-    # numerator window of a post-fade sample reaches back into the fade
-    # region but must still read raw input there, so the selection is per
-    # OUTPUT position, not per buffer position.
+    # pass-A scratch snapshot (:352-377); everything else reads the raw
+    # input. The numerator window of a post-fade sample reaches back into
+    # the fade region but must still read raw input there, so the selection
+    # is per OUTPUT position, not per buffer position.
     use_scratch = case_pitch_change[:, None] & in_fade  # [S, nf]
     fadeB = jnp.where(case_steady[:, None], F32(1.0), fade_up[None, :])
-    ycatB_init = jnp.concatenate([st.hist_y, jnp.zeros((S, nf), F32)], axis=1)
-    ycatB = _blocked_filter_pass_perstream(
-        p, xcat, ycatB_init, xcat, scratch_src, use_scratch,
-        c_num_new, c_den_new, p_int, fadeB, H,
-    )
-    yB = ycatB[:, H:]
+    fadeB = jnp.broadcast_to(fadeB, (S, nf))
+
+    if use_pallas:
+        from .pallas_ltpf import ltpf_both_passes_pallas
+
+        yA, yB = ltpf_both_passes_pallas(
+            p, xcat, st.hist_y, st.c_num, st.c_den, st.p_int,
+            c_num_new, c_den_new, p_int, fade_down, fadeB, use_scratch,
+            H, _reach_back(p), interpret=pallas_interpret,
+        )
+    else:
+        # ---- pass A: fade-out with previous coefficients (cases 3, 5)
+        ycatA_init = jnp.concatenate([st.hist_y, jnp.zeros((S, nf), F32)], axis=1)
+        ycatA = _blocked_filter_pass(
+            p, xcat, ycatA_init, xcat, st.c_num, st.c_den, st.p_int, fade_down, H
+        )
+        yA = ycatA[:, H:]
+
+        # case-5 fade-in numerator source: snapshot of the faded-out output,
+        # laid out so index H + n - k hits scratch[l_num + n - k]
+        scratch_src = jnp.concatenate(
+            [jnp.zeros((S, H - p.l_num), F32), ycatA[:, H - p.l_num : H], yA], axis=1
+        )
+
+        # ---- pass B: final output with new coefficients
+        ycatB_init = jnp.concatenate([st.hist_y, jnp.zeros((S, nf), F32)], axis=1)
+        ycatB = _blocked_filter_pass_perstream(
+            p, xcat, ycatB_init, xcat, scratch_src, use_scratch,
+            c_num_new, c_den_new, p_int, fadeB, H,
+        )
+        yB = ycatB[:, H:]
 
     y = jnp.where(case_inactive[:, None], x, yB)
     y = jnp.where(
