@@ -329,6 +329,7 @@ def output_scale(x):
 def decode_step(
     cfg: Lc3Config, nbits: int, state: DecoderState, frames: ParsedFrames,
     use_pallas: bool | None = None,
+    ltpf_use_pallas: bool = False,
 ) -> tuple[DecoderState, jax.Array]:
     """One batched frame: parsed fields [S, ...] -> (state, pcm int16 [S, nf]).
 
@@ -358,11 +359,18 @@ def decode_step(
                       frames.sns_ind_lf, frames.sns_ind_hf)
     x, state = plc_step(p, x, state, frames.bad_frame)
     t, new_mem = imdct_ola(p, x, state.mem_ola)
+    # LTPF stays on the lax.scan + funnel path by default: the Pallas LTPF
+    # kernel (pallas_ltpf.py) is bit-compatible and fixes the VMEM spill at
+    # S >= 8192, but its compile is slow and not served from the persistent
+    # cache on this toolchain (several minutes per process) and it breaks
+    # the xprof profiler, so it is opt-in via ltpf_use_pallas until the
+    # toolchain catches up. At the bench operating point (S=2048) the scan
+    # path is already VMEM-resident.
     t, new_ltpf = ltpf_run(
         p, state.ltpf, t, nbits,
         frames.ltpf_active & ~frames.bad_frame,
         jnp.where(frames.bad_frame, 0, frames.pitch_index),
-        use_pallas=use_pallas and frames.x_int.shape[0] % 256 == 0,
+        use_pallas=ltpf_use_pallas and frames.x_int.shape[0] % 256 == 0,
     )
     pcm = output_scale(t)
     new_state = DecoderState(
