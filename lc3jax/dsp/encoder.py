@@ -1008,41 +1008,57 @@ def bit_consumption(p: EncoderParams, x_q, nbits: int, nbits_spec):
     idx = cc + rate_flag + np.arange(2)[None, :, None] * 256 + np.arange(4)[None, None, :] * 1024
     TAB = btab[lut[idx]].reshape(256, 2, 4 * 17).astype(np.float32)  # [256,2,68]
 
-    onehot = (c[:, :, None] == jnp.arange(256)[None, None, :]).astype(F32)
+    # one-hot matmuls on the MXU in bf16 with byte-split tables: table
+    # values are < 2^16, so hi/lo bytes are <= 255 (exact in bf16), the
+    # one-hot is 0/1 (exact), each output row has exactly one nonzero term,
+    # and the f32 accumulation reassembles the integer exactly. All later
+    # arithmetic stays in f32 — every quantity is an integer < 2^24, so f32
+    # adds/cumsums are exact and the [S,NT,68] s32 conversion is avoided.
+    TAB_hi = np.floor(TAB / 256.0).astype(np.float32)
+    TAB_lo = (TAB - 256.0 * TAB_hi).astype(np.float32)
+    onehot = (c[:, :, None] == jnp.arange(256)[None, None, :]).astype(jnp.bfloat16)
     split = ne // 4 + 1  # positions with 2p <= ne/2
-    kw = dict(precision=jax.lax.Precision.HIGHEST, preferred_element_type=F32)
-    bits_lo = jnp.einsum("spc,ck->spk", onehot[:, :split], jnp.asarray(TAB[:, 0]), **kw)
-    bits_hi = jnp.einsum("spc,ck->spk", onehot[:, split:], jnp.asarray(TAB[:, 1]), **kw)
-    bitsk = jnp.concatenate([bits_lo, bits_hi], axis=1).astype(I32)  # [S,NT,68]
+    kw = dict(preferred_element_type=F32)
+
+    def lookup(oh, hi: int):
+        h = jnp.einsum("spc,ck->spk", oh, jnp.asarray(TAB_hi[:, hi], jnp.bfloat16), **kw)
+        l = jnp.einsum("spc,ck->spk", oh, jnp.asarray(TAB_lo[:, hi], jnp.bfloat16), **kw)
+        return h * F32(256.0) + l
+
+    bitsk = jnp.concatenate(
+        [lookup(onehot[:, :split], 0), lookup(onehot[:, split:], 1)], axis=1
+    )  # [S,NT,68] f32, exact integers
 
     # escape-ladder bits: level j contributes bits[c, min(j,3), 16] when go_j
     b16 = bitsk[:, :, 16::17]  # [S,NT,4]
-    go0 = go[:, :, 0].astype(I32)
-    go1 = go[:, :, 1].astype(I32)
-    go2 = go[:, :, 2].astype(I32)
-    extra = jnp.maximum(g - 3, 0)
-    est_c = go0 * b16[:, :, 0] + go1 * b16[:, :, 1] + go2 * b16[:, :, 2] + extra * b16[:, :, 3]
+    go0 = go[:, :, 0]
+    gof = go[:, :, :3].astype(F32)
+    extra = jnp.maximum(g - 3, 0).astype(F32)
+    est_c = (gof[:, :, 0] * b16[:, :, 0] + gof[:, :, 1] * b16[:, :, 1]
+             + gof[:, :, 2] * b16[:, :, 2] + extra * b16[:, :, 3])
 
     # final symbol bits via a 68-way masked sum (no gather)
     fin_idx = lev_fin * 17 + sym
     est_c = est_c + jnp.sum(
-        jnp.where(fin_idx[:, :, None] == jnp.arange(68)[None, None, :], bitsk, 0), axis=2
+        jnp.where(fin_idx[:, :, None] == jnp.arange(68)[None, None, :], bitsk, 0.0),
+        axis=2,
     )
+    gf = g.astype(F32)
     # per-go-level 2-bit payloads; at level 0 in mode_flag they go to lsb
     if mode_flag:
-        est_c = est_c + 4096 * (g - go0)
-        nlsb_c = 2 * go0
+        est_c = est_c + F32(4096.0) * (gf - gof[:, :, 0])
+        nlsb_c = 2 * go0.astype(I32)
         lev_pos = g > 0
         nlsb_c = nlsb_c + (lev_pos & ((a0 >> 1) == 0) & (a0 != 0)).astype(I32)
         nlsb_c = nlsb_c + (lev_pos & ((b0 >> 1) == 0) & (b0 != 0)).astype(I32)
     else:
-        est_c = est_c + 4096 * g
+        est_c = est_c + F32(4096.0) * gf
         nlsb_c = jnp.zeros_like(g)
-    est_c = est_c + 2048 * ((a0 > 0).astype(I32) + (b0 > 0).astype(I32))
+    est_c = est_c + F32(2048.0) * ((a0 > 0).astype(F32) + (b0 > 0).astype(F32))
 
     ns_arr = 2 * jnp.arange(NT, dtype=I32)
     in_range = ns_arr[None, :] < lastnz[:, None]
-    est_cum = jnp.cumsum(jnp.where(in_range, est_c, 0), axis=1)  # inclusive
+    est_cum = jnp.cumsum(jnp.where(in_range, est_c, 0.0), axis=1)  # exact: < 2^24
     est = est_cum[:, -1]
     nlsb = jnp.sum(jnp.where(in_range, nlsb_c, 0), axis=1)
 
@@ -1050,14 +1066,14 @@ def bit_consumption(p: EncoderParams, x_q, nbits: int, nbits_spec):
     # masked max; same for the truncated length
     fits = (
         ((a0 != 0) | (b0 != 0))
-        & (jnp.ceil(est_cum.astype(F32) / F32(2048.0)).astype(I32) <= nbits_spec[:, None])
+        & (jnp.ceil(est_cum / F32(2048.0)).astype(I32) <= nbits_spec[:, None])
         & in_range
     )
     lastnz_tr = jnp.maximum(2, jnp.max(jnp.where(fits, ns_arr[None, :] + 2, 0), axis=1))
-    trunc = jnp.max(jnp.where(fits, est_cum, 0), axis=1)
+    trunc = jnp.max(jnp.where(fits, est_cum, 0.0), axis=1)
 
-    nbits_est = jnp.ceil(est.astype(F32) / F32(2048.0)).astype(I32) + nlsb
-    nbits_trunc = jnp.ceil(trunc.astype(F32) / F32(2048.0)).astype(I32)
+    nbits_est = jnp.ceil(est / F32(2048.0)).astype(I32) + nlsb
+    nbits_trunc = jnp.ceil(trunc / F32(2048.0)).astype(I32)
     return dict(
         lastnz=lastnz.astype(I32), lastnz_trunc=lastnz_tr,
         nbits_est=nbits_est, nbits_trunc=nbits_trunc, nbits_lsb=nlsb,
