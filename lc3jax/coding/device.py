@@ -65,27 +65,34 @@ class _TailReader:
         w = vals[:, 0] | (vals[:, 1] << 8) | (vals[:, 2] << 16) | (vals[:, 3] << 24)
         return w, byte_index
 
-    def read(self, nbits, advance=None, head=None):
-        """Read nbits (static int or [S] array <= 25); advance cursor by
-        `advance` (defaults to nbits) where advance may be per-stream."""
+    def read(self, nbits, advance=None, active=None):
+        """Read nbits (static int <= 25); advance cursor by `advance`
+        (defaults to nbits), which may be per-stream — it is also the
+        per-stream *effective* bit count used for the overrun check.
+        `active` masks the overrun check for streams that logically skip
+        this read (their cursor must not advance either: pass advance=0)."""
         w, byte_index = self._word()
         bit = self.cursor & 7
         value = (w.astype(U32) >> bit.astype(U32)).astype(U32)
         mask = (jnp.uint32(1) << jnp.asarray(nbits, U32)) - jnp.uint32(1)
         value = (value & mask).astype(I32)
-        adv = nbits if advance is None else advance
-        if head is not None:
-            # overrun check mirroring buffer_reader.rs:71
-            nb = (jnp.asarray(nbits, I32) >> 3) + 2
-            self.error = self.error | (
-                self.nbytes - head - byte_index - nb < -1
-            )
-        self.cursor = self.cursor + jnp.asarray(adv, I32)
+        adv = jnp.asarray(nbits if advance is None else advance, I32)
+        # overrun check mirroring buffer_reader.rs:72 (read_tail_usize with
+        # head_byte_cursor == 0: side info is read before the range decoder
+        # touches the head). num_bytes = nbits/8 + (2 if the read straddles
+        # into a second byte while nbits < 8 else 1).
+        bits_left = 8 - bit
+        nb = (adv >> 3) + jnp.where((adv > bits_left) & (adv < 8), 2, 1)
+        overrun = self.nbytes - byte_index - nb < 0
+        if active is not None:
+            overrun = overrun & active
+        self.error = self.error | (overrun & (adv > 0))
+        self.cursor = self.cursor + adv
         return value
 
     def read_masked(self, nbits: int, do):
         """Read nbits but only advance the cursor where `do` is true."""
-        v = self.read(nbits, advance=jnp.where(do, nbits, 0))
+        v = self.read(nbits, advance=jnp.where(do, nbits, 0), active=do)
         return jnp.where(do, v, 0)
 
 
@@ -166,6 +173,7 @@ def device_parse(cfg: Lc3Config, nbytes: int, payloads: jax.Array) -> ParsedFram
     ltpf_active = r.read_masked(1, pitch_present).astype(bool)
     pitch_index = r.read_masked(9, pitch_present)
     noise_factor = r.read(3)
+    bad = bad | r.error  # tail-reader overrun during side info
 
     # ---------------- arithmetic decoder init (arithmetic_codec.rs:57-65)
     head = jnp.zeros(S, I32)
@@ -235,13 +243,15 @@ def device_parse(cfg: Lc3Config, nbytes: int, payloads: jax.Array) -> ParsedFram
     # ---------------- spectral data scan (arithmetic_codec.rs:211-305)
     rate_flag = 512 if nbits > (160 + fs_ind * 160) else 0
 
-    def tail_bit(cursor, do):
+    def tail_bit(cursor, do, head, err):
         byte_index = cursor >> 3
         bit = cursor & 7
         idx = jnp.clip(nbytes - 1 - byte_index, 0, nbytes - 1)
         byte = jnp.take_along_axis(buf, idx[:, None], 1)[:, 0]
         v = ((byte >> bit) & 1).astype(bool) & do
-        return v, cursor + jnp.where(do, 1, 0)
+        # overrun check mirroring buffer_reader.rs:104 (read_tail_bool)
+        err = err | (do & (nbytes - head - byte_index + 2 < 0))
+        return v, cursor + jnp.where(do, 1, 0), err
 
     def spec_step(carry, n):
         low, rng, head, err, cursor, c = carry
@@ -257,8 +267,8 @@ def device_parse(cfg: Lc3Config, nbytes: int, payloads: jax.Array) -> ParsedFram
             sym = jnp.where(going, val, sym)
             esc = going & (val >= 16)
             read_lsbs = esc & (~lsb_mode | (lev > 0))
-            bit_a, cursor = tail_bit(cursor, read_lsbs)
-            bit_b, cursor = tail_bit(cursor, read_lsbs)
+            bit_a, cursor, err = tail_bit(cursor, read_lsbs, head, err)
+            bit_b, cursor, err = tail_bit(cursor, read_lsbs, head, err)
             xk = xk + jnp.where(read_lsbs, bit_a.astype(I32) << lev, 0)
             xk1 = xk1 + jnp.where(read_lsbs, bit_b.astype(I32) << lev, 0)
             lev = jnp.where(esc, lev + 1, lev)
@@ -274,9 +284,9 @@ def device_parse(cfg: Lc3Config, nbytes: int, payloads: jax.Array) -> ParsedFram
         b = sym >> 2
         xk = xk + jnp.where(in_range, a << lev, 0)
         xk1 = xk1 + jnp.where(in_range, b << lev, 0)
-        sbit_a, cursor = tail_bit(cursor, in_range & (xk > 0))
+        sbit_a, cursor, err = tail_bit(cursor, in_range & (xk > 0), head, err)
         xk = jnp.where(sbit_a, -xk, xk)
-        sbit_b, cursor = tail_bit(cursor, in_range & (xk1 > 0))
+        sbit_b, cursor, err = tail_bit(cursor, in_range & (xk1 > 0), head, err)
         xk1 = jnp.where(sbit_b, -xk1, xk1)
         lev_c = jnp.minimum(lev, 3)
         t_next = jnp.where(lev_c <= 1, 1 + (a + b) * (lev_c + 1), 12 + lev_c)
@@ -305,7 +315,6 @@ def device_parse(cfg: Lc3Config, nbytes: int, payloads: jax.Array) -> ParsedFram
     nbits_side = cursor - 8
     nbits_ari = (head + 1 - 3) * 8 + 25 - log2rng
     neg_budget = nbits < nbits_side + nbits_ari
-    bad = bad | err | neg_budget
     nres_avail = jnp.maximum(0, nbits - nbits_side - nbits_ari)
 
     # non-lsb path: one bit per nonzero line, capped — pure gathers
@@ -321,41 +330,48 @@ def device_parse(cfg: Lc3Config, nbytes: int, payloads: jax.Array) -> ParsedFram
     # matching the host parsers — no compaction scatter needed
     residual_bits = (((bytes_g >> bit) & 1) != 0) & can_read
     n_residual = jnp.where(lsb_mode, 0, jnp.sum(can_read, axis=1)).astype(I32)
+    # per-read overrun check (buffer_reader.rs:104 via read_res_bit)
+    err = err | jnp.any(
+        can_read & (nbytes - head[:, None] - byte_index + 2 < 0), axis=1
+    )
+    bad = bad | err | neg_budget
 
     # lsb path: sequential budgeted refinement (mutates x) — scan over tuples.
     # The reference breaks out once the budget runs out; masking every read
     # by budget>0 is equivalent since the budget never recovers.
     def lsb_step(carry, n):
-        cur, budget, xs = carry
+        cur, budget, xs, lerr = carry
         slev_n = jax.lax.dynamic_index_in_dim(save_lev, n, axis=1, keepdims=False)
         pair_on = lsb_mode & (n < lastnz) & ~bad & (slev_n > 0)
 
-        def one(idx_col, cur, budget, xs):
+        def one(idx_col, cur, budget, xs, lerr):
             can = pair_on & (budget > 0)
-            b1, cur = tail_bit(cur, can)
+            b1, cur, lerr = tail_bit(cur, can, head, lerr)
             budget = budget - jnp.where(can, 1, 0)
             xv = jnp.take_along_axis(xs, idx_col[:, None], 1)[:, 0]
             pos_v = can & b1 & (xv > 0)
             neg_v = can & b1 & (xv < 0)
             zer_v = can & b1 & (xv == 0)
             can2 = zer_v & (budget > 0)
-            b2, cur = tail_bit(cur, can2)
+            b2, cur, lerr = tail_bit(cur, can2, head, lerr)
             budget = budget - jnp.where(can2, 1, 0)
             new_xv = jnp.where(pos_v, xv + 1, xv)
             new_xv = jnp.where(neg_v, new_xv - 1, new_xv)
             new_xv = jnp.where(can2, jnp.where(b2, -1, 1), new_xv)
             xs = jax.vmap(lambda row, i, v: row.at[i].set(v))(xs, idx_col, new_xv)
-            return cur, budget, xs
+            return cur, budget, xs, lerr
 
         idx0 = jnp.full(S, 0, I32) + n
-        cur, budget, xs = one(idx0, cur, budget, xs)
-        cur, budget, xs = one(idx0 + 1, cur, budget, xs)
-        return (cur, budget, xs), None
+        cur, budget, xs, lerr = one(idx0, cur, budget, xs, lerr)
+        cur, budget, xs, lerr = one(idx0 + 1, cur, budget, xs, lerr)
+        return (cur, budget, xs, lerr), None
 
-    (cursor2, _, x_lsb), _ = jax.lax.scan(
-        lsb_step, (cursor, nres_avail, x), jnp.arange(0, ne, 2, dtype=I32)
+    (cursor2, _, x_lsb, lsb_err), _ = jax.lax.scan(
+        lsb_step, (cursor, nres_avail, x, jnp.zeros(S, bool)),
+        jnp.arange(0, ne, 2, dtype=I32),
     )
     x = jnp.where(lsb_mode[:, None], x_lsb, x)
+    bad = bad | lsb_err
 
     seed = (jnp.sum(jnp.abs(x) * pos, axis=1) & 0xFFFF).astype(I32)
     zero_frame = (lastnz == 2) & (x[:, 0] == 0) & (x[:, 1] == 0) & (gg_ind == 0)

@@ -41,7 +41,7 @@ def load():
         + [c32, cu8, c32, c32, c32, c32, c32, c32, cu8, cu8, c32, c32, c32,
            c32, c32, c32, cu8, c32, cu8]
     )
-    lib.lc3_pack_frames.restype = None
+    lib.lc3_pack_frames.restype = ctypes.c_int  # frames rejected (zeroed)
     lib.lc3_pack_frames.argtypes = (
         [ctypes.c_int] * 4
         + [c32, ctypes.c_int]
@@ -133,7 +133,7 @@ def pack_frames_native(cfg: Lc3Config, fields: dict, nbytes: int,
     out = np.zeros((S, nbytes), np.uint8)
     i32 = lambda k: np.ascontiguousarray(f[k], np.int32)
     u8 = lambda k: np.ascontiguousarray(f[k], np.uint8)
-    lib.lc3_pack_frames(
+    n_rejected = lib.lc3_pack_frames(
         S, nbytes, ne, n_threads,
         i32("bandwidth"), int(f["nbits_bw"]),
         i32("sns_ind_lf"), i32("sns_ind_hf"), i32("sns_shape_j"),
@@ -146,4 +146,11 @@ def pack_frames_native(cfg: Lc3Config, fields: dict, nbytes: int,
         i32("quant_nbits_lsb"), u8("quant_lsb_mode"), i32("noise_factor"),
         i32("x_q"), u8("residual_bits"), i32("n_residual"), out,
     )
+    if n_rejected:
+        # inconsistent fields are an encode-path programming error, never a
+        # data-dependent condition — fail loudly rather than emit zero frames
+        raise ValueError(
+            f"native pack rejected {n_rejected}/{S} frames (inconsistent "
+            "encoder fields; rejected rows zeroed)"
+        )
     return out

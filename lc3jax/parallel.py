@@ -4,11 +4,15 @@ LC3 has no cross-stream coupling (SURVEY.md section 2.5), so scale-out is
 pure data parallelism over ICI: a 1-D mesh over all chips, every batched
 tensor sharded on its leading stream axis with jax.sharding.NamedSharding.
 XLA inserts no collectives in the math; only host<->device IO moves data.
+
+All jitted entry points pin ``in_shardings``/``out_shardings`` explicitly
+(as pytree-prefix shardings — every codec tensor is stream-major, so one
+``P("streams")`` covers each argument tree), so a mistakenly replicated
+input is resharded instead of silently compiling a replicated program.
+The frame-axis scan variants take [T, S, ...] arrays sharded on axis 1.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import numpy as np
@@ -16,6 +20,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .config import Lc3Config
 from .dsp.decoder import DecoderState, ParsedFrames, decode_step, decoder_init
+from .dsp.encoder import EncoderState, encode_step, encoder_init
+from .dsp.streaming import decode_frames, encode_frames
 
 
 def stream_mesh(devices=None) -> Mesh:
@@ -23,14 +29,16 @@ def stream_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), axis_names=("streams",))
 
 
-def shard_streams(mesh: Mesh, tree):
-    """Place every array in the pytree sharded on its leading (stream) axis."""
+def _sharding(mesh: Mesh, axis: int) -> NamedSharding:
+    """NamedSharding splitting dimension `axis` across the mesh (used as a
+    pytree-prefix for whole argument trees)."""
+    return NamedSharding(mesh, P(*([None] * axis), "streams"))
 
-    def place(x):
-        spec = P("streams", *([None] * (np.ndim(x) - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map(place, tree)
+def shard_streams(mesh: Mesh, tree, axis: int = 0):
+    """Place every array in the pytree sharded on its stream axis."""
+    sh = _sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
 def make_sharded_decode_step(cfg: Lc3Config, nbits: int, mesh: Mesh):
@@ -44,9 +52,56 @@ def make_sharded_decode_step(cfg: Lc3Config, nbits: int, mesh: Mesh):
     def step(state: DecoderState, frames: ParsedFrames):
         return decode_step(cfg, nbits, state, frames)
 
-    shardings = NamedSharding(mesh, P("streams"))
-    return jax.jit(step, donate_argnums=(0,))
+    s0 = _sharding(mesh, 0)
+    return jax.jit(
+        step,
+        in_shardings=(s0, s0),
+        out_shardings=(s0, s0),
+        donate_argnums=(0,),
+    )
+
+
+def make_sharded_encode_step(cfg: Lc3Config, nbytes: int, mesh: Mesh):
+    """Jitted encode step: int16 PCM [S, nf] -> per-frame field dict,
+    everything sharded on the stream axis."""
+
+    def step(state: EncoderState, pcm):
+        return encode_step(cfg, nbytes, state, pcm)
+
+    # the field dict mixes [S,...] tensors with rank-0 scalars (nbits_bw),
+    # so outputs are left to propagate from the pinned inputs
+    s0 = _sharding(mesh, 0)
+    return jax.jit(step, in_shardings=(s0, s0), donate_argnums=(0,))
+
+
+def make_sharded_decode_frames(cfg: Lc3Config, nbits: int, mesh: Mesh):
+    """Sharded frame-axis scan: frames [T, S, ...] -> pcm [T, S, nf]."""
+
+    def run(state: DecoderState, frames: ParsedFrames):
+        return decode_frames(cfg, nbits, state, frames)
+
+    s0, s1 = _sharding(mesh, 0), _sharding(mesh, 1)
+    return jax.jit(
+        run,
+        in_shardings=(s0, s1),
+        out_shardings=(s0, s1),
+        donate_argnums=(0,),
+    )
+
+
+def make_sharded_encode_frames(cfg: Lc3Config, nbytes: int, mesh: Mesh):
+    """Sharded frame-axis scan: pcm [T, S, nf] -> field dict [T, S, ...]."""
+
+    def run(state: EncoderState, pcm):
+        return encode_frames(cfg, nbytes, state, pcm)
+
+    s0, s1 = _sharding(mesh, 0), _sharding(mesh, 1)
+    return jax.jit(run, in_shardings=(s0, s1), donate_argnums=(0,))
 
 
 def sharded_decoder_init(cfg: Lc3Config, n_streams: int, mesh: Mesh) -> DecoderState:
     return shard_streams(mesh, decoder_init(cfg, n_streams))
+
+
+def sharded_encoder_init(cfg: Lc3Config, n_streams: int, mesh: Mesh) -> EncoderState:
+    return shard_streams(mesh, encoder_init(cfg, n_streams))

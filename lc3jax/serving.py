@@ -85,32 +85,46 @@ class BatchDecoder:
         q: queue.Queue = queue.Queue(maxsize=2)
 
         def producer():
-            for batch in payload_batches:
-                host_frames = self._parse(batch)
-                n_bad = int(np.asarray(host_frames.bad_frame).sum())
-                frames = jax.device_put(host_frames)
-                # ensure the host->device copy completes before the parse
-                # buffers get recycled
-                jax.block_until_ready(frames)
-                q.put((frames, n_bad))
-            q.put(None)
+            # Any producer failure (bad shape/dtype, native parser assert,
+            # transfer error) is forwarded to the consumer; the sentinel is
+            # enqueued unconditionally so the consumer can never block
+            # forever on q.get().
+            try:
+                for batch in payload_batches:
+                    host_frames = self._parse(batch)
+                    n_bad = int(np.asarray(host_frames.bad_frame).sum())
+                    frames = jax.device_put(host_frames)
+                    # ensure the host->device copy completes before the parse
+                    # buffers get recycled
+                    jax.block_until_ready(frames)
+                    q.put((frames, n_bad))
+            except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+                q.put(e)
+            finally:
+                q.put(None)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
         outs = []
+        err = None
         while True:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                err = item
+                continue  # drain until the sentinel, then join + raise
             frames, n_bad = item
             self.state, pcm = self._step(self.state, frames)
             self.metrics.record_decode(
                 self.n_streams, self._frame_seconds, n_bad=n_bad
             )
             outs.append(np.asarray(pcm) if fetch else pcm)
+        th.join()
+        if err is not None:
+            raise err
         if not fetch and outs:
             jax.block_until_ready(outs[-1])
-        th.join()
         return outs
 
 

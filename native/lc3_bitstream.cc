@@ -378,10 +378,15 @@ struct Writer {
   int bp = 0;
   int bp_side;
   int mask_side = 1;
+  // Inconsistent caller-supplied fields must fail per-frame, not scribble
+  // past the payload row (the Rust reference panics on OOB; an exported C
+  // ABI can't, so every write is guarded and `error` is checked after).
+  bool error = false;
   explicit Writer(uint8_t* b, int n) : buf(b), len(n), bp_side(n - 1) {
     std::memset(b, 0, n);
   }
   void bool_backward(bool bit) {
+    if (bp_side < 0 || bp_side < bp) { error = true; return; }
     if (bit) buf[bp_side] |= mask_side;
     else buf[bp_side] &= ~mask_side;
     if (mask_side == 0x80) { mask_side = 1; bp_side--; }
@@ -390,8 +395,12 @@ struct Writer {
   void uint_backward(uint32_t val, int nbits) {
     for (int i = 0; i < nbits; i++) { bool_backward(val & 1); val >>= 1; }
   }
-  void byte_forward(uint8_t v) { buf[bp++] = v; }
+  void byte_forward(uint8_t v) {
+    if (bp >= len) { error = true; return; }
+    buf[bp++] = v;
+  }
   void uint_forward(uint32_t val, int nbits) {
+    if (bp >= len) { error = true; return; }
     int mask = 0x80;
     for (int i = 0; i < nbits; i++) {
       if (val & mask) buf[bp] |= mask;
@@ -486,8 +495,22 @@ struct EncFields {
 static const int kSnsGainMsbBits[4] = {1, 1, 2, 2};
 static const int kSnsGainLsbBits[4] = {0, 1, 0, 1};
 
-static void pack_one(const EncFields& f, int ne, uint8_t* out, int nbytes) {
+// Returns false (and zeroes the frame) on inconsistent fields or a writer
+// overrun instead of corrupting memory.
+static bool pack_one(const EncFields& f, int ne, uint8_t* out, int nbytes) {
   Writer w(out, nbytes);
+  // field ranges that index static tables or drive loop bounds
+  bool ok = f.lastnz_trunc >= 2 && f.lastnz_trunc <= ne &&
+            (f.lastnz_trunc & 1) == 0 && f.num_tns_filters >= 0 &&
+            f.num_tns_filters <= 2 && f.lpc_weighting >= 0 &&
+            f.lpc_weighting <= 1 && f.shape_j >= 0 && f.shape_j <= 3 &&
+            (f.rate_flag == 0 || f.rate_flag == 512);
+  for (int fi = 0; ok && fi < f.num_tns_filters; fi++) {
+    ok = f.rc_order[fi] >= 0 && f.rc_order[fi] <= 8;
+    for (int k = 0; ok && k < f.rc_order[fi]; k++)
+      ok = f.rc_i[k + 8 * fi] >= 0 && f.rc_i[k + 8 * fi] < 17;
+  }
+  if (!ok) { std::memset(out, 0, nbytes); return false; }
   int nbits = nbytes * 8;
   if (f.nbits_bw > 0) w.uint_backward(f.bandwidth, f.nbits_bw);
   w.uint_backward((f.lastnz_trunc >> 1) - 1, ceil_log2(ne / 2));
@@ -590,6 +613,8 @@ static void pack_one(const EncFields& f, int ne, uint8_t* out, int nbytes) {
     for (int i = 0; i < n; i++) w.bool_backward(lsbs[i] == 1);
   }
   st.finish(w);
+  if (w.error) { std::memset(out, 0, nbytes); return false; }
+  return true;
 }
 
 }  // namespace
@@ -659,8 +684,9 @@ int lc3_parse_frames(const uint8_t* payloads, int S, int nbytes, int fs_ind,
   return total;
 }
 
-// Batched pack: field arrays [S,...]; out [S, nbytes].
-void lc3_pack_frames(int S, int nbytes, int ne, int n_threads,
+// Batched pack: field arrays [S,...]; out [S, nbytes]. Returns the number
+// of frames rejected for inconsistent fields (their rows are zeroed).
+int lc3_pack_frames(int S, int nbytes, int ne, int n_threads,
                      const int32_t* bandwidth, int nbits_bw,
                      const int32_t* ind_lf, const int32_t* ind_hf,
                      const int32_t* shape_j, const int32_t* gind,
@@ -675,6 +701,7 @@ void lc3_pack_frames(int S, int nbytes, int ne, int n_threads,
                      const int32_t* x_q, const uint8_t* res_bits,
                      const int32_t* n_res, uint8_t* out) {
   int nt = std::max(1, n_threads);
+  std::vector<int> bad_counts(nt, 0);
   auto work = [&](int tid) {
     for (int s = tid; s < S; s += nt) {
       EncFields f{
@@ -685,7 +712,7 @@ void lc3_pack_frames(int S, int nbytes, int ne, int n_threads,
           lastnz_trunc[s], gg_ind[s], rate_flag, nbits_lsb[s],
           lsb_mode[s] != 0, noise_factor[s], x_q + size_t(s) * ne,
           res_bits + size_t(s) * ne, n_res[s]};
-      pack_one(f, ne, out + size_t(s) * nbytes, nbytes);
+      if (!pack_one(f, ne, out + size_t(s) * nbytes, nbytes)) bad_counts[tid]++;
     }
   };
   if (nt == 1) {
@@ -695,6 +722,9 @@ void lc3_pack_frames(int S, int nbytes, int ne, int n_threads,
     for (int t = 0; t < nt; t++) threads.emplace_back(work, t);
     for (auto& th : threads) th.join();
   }
+  int total = 0;
+  for (int v : bad_counts) total += v;
+  return total;
 }
 
 }  // extern "C"

@@ -78,3 +78,33 @@ def test_pack_matches_python():
     nat = native.pack_frames_native(CFG48, fields, nbytes)
     for s in range(3):
         assert bytes(nat[s]) == py[s], f"stream {s}"
+
+
+def test_pack_rejects_inconsistent_fields():
+    """Out-of-range fields must raise (rows zeroed), never corrupt memory."""
+    from functools import partial as _p
+
+    from lc3jax.dsp.encoder import encode_step, encoder_init
+
+    nbytes = 80
+    t = np.arange(480) / 48000
+    batch = np.stack([(8000 * np.sin(2 * np.pi * 220 * t)).astype(np.int16)] * 2)
+    state = encoder_init(CFG48, 2)
+    _, fields = jax.jit(_p(encode_step, CFG48, nbytes))(state, batch)
+    fields = {k: np.asarray(v).copy() for k, v in fields.items()}
+
+    for key, bad_value in [
+        ("quant_lastnz_trunc", 999),   # > ne
+        ("quant_lastnz_trunc", 3),     # odd
+        ("tns_rc_order", 9),           # > 8, indexes past the order tables
+        ("tns_rc_i", -1),              # negative coef index
+        ("tns_num_tns_filters", 7),    # > 2
+    ]:
+        bad = {k: v.copy() for k, v in fields.items()}
+        flat = bad[key].reshape(-1)
+        flat[0] = bad_value
+        if key == "tns_rc_i":  # coef indices only read when a filter is on
+            bad["tns_num_tns_filters"].reshape(-1)[0] = 1
+            bad["tns_rc_order"].reshape(-1)[0] = 1
+        with pytest.raises(ValueError, match="rejected"):
+            native.pack_frames_native(CFG48, bad, nbytes)

@@ -1,42 +1,113 @@
 """Stream-axis sharding over the virtual 8-device CPU mesh."""
 
-import numpy as np
 import jax
+import numpy as np
 
 from lc3jax.coding.host import parse_frames
 from lc3jax.config import FrameDuration, Lc3Config
 from lc3jax.dsp.decoder import decode_step, decoder_init
-from lc3jax.parallel import make_sharded_decode_step, shard_streams, stream_mesh
+from lc3jax.dsp.encoder import encode_step, encoder_init
+from lc3jax.parallel import (
+    make_sharded_decode_frames,
+    make_sharded_decode_step,
+    make_sharded_encode_step,
+    shard_streams,
+    sharded_decoder_init,
+    sharded_encoder_init,
+    stream_mesh,
+)
 from lc3jax.ref.encoder import Lc3Encoder
 
 CFG48 = Lc3Config.new(48000, FrameDuration.MS10)
+NBYTES = 80
+
+
+def _mesh():
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest sets an 8-device virtual CPU platform"
+    return stream_mesh(devices[:8])
+
+
+def _payloads(nframes=1, S=16):
+    t = np.arange(nframes * 480) / 48000
+    sig = (6000 * np.sin(2 * np.pi * 330 * t)).astype(np.int16)
+    enc = Lc3Encoder(1, FrameDuration.MS10, 48000)
+    per_frame = [
+        bytes(enc.encode_frame(0, sig[f * 480 : (f + 1) * 480], NBYTES))
+        for f in range(nframes)
+    ]
+    return sig, [[p] * S for p in per_frame]
 
 
 def test_sharded_decode_matches_single_device(goldens):
-    devices = jax.devices()
-    assert len(devices) >= 8, "conftest sets an 8-device virtual CPU platform"
-    mesh = stream_mesh(devices[:8])
-
-    nbytes = 80
-    t = np.arange(480) / 48000
-    enc = Lc3Encoder(1, FrameDuration.MS10, 48000)
-    payload = bytes(enc.encode_frame(0, (6000 * np.sin(2 * np.pi * 330 * t)).astype(np.int16), nbytes))
+    mesh = _mesh()
     S = 16
-    frames = parse_frames(CFG48, [payload] * S)
+    _, frames_raw = _payloads(1, S)
+    frames = parse_frames(CFG48, frames_raw[0])
 
     # single device
     st1 = decoder_init(CFG48, S)
-    st1, pcm1 = jax.jit(lambda s, f: decode_step(CFG48, nbytes * 8, s, f))(st1, frames)
+    st1, pcm1 = jax.jit(lambda s, f: decode_step(CFG48, NBYTES * 8, s, f))(st1, frames)
 
-    # sharded over the mesh
-    st8 = shard_streams(mesh, decoder_init(CFG48, S))
-    frames8 = shard_streams(mesh, frames)
-    step = make_sharded_decode_step(CFG48, nbytes * 8, mesh)
-    st8, pcm8 = step(st8, frames8)
+    # sharded over the mesh — inputs deliberately NOT pre-placed: the jit's
+    # explicit in_shardings must reshard them onto the mesh
+    st8 = decoder_init(CFG48, S)
+    step = make_sharded_decode_step(CFG48, NBYTES * 8, mesh)
+    st8, pcm8 = step(st8, frames)
 
     assert "streams" in str(pcm8.sharding)
+    assert "streams" in str(st8.mem_ola.sharding)
     # the SPMD partitioner may fuse differently than the single-device
     # program; allow the usual 1-LSB rounding envelope
     d = np.abs(np.asarray(pcm1).astype(int) - np.asarray(pcm8).astype(int))
+    assert d.max() <= 1
+    assert (d > 0).mean() < 0.01
+
+
+def test_sharded_encode_matches_single_device():
+    mesh = _mesh()
+    S = 16
+    t = np.arange(480) / 48000
+    pcm = np.stack([(6000 * np.sin(2 * np.pi * (200 + 17 * s) * t)).astype(np.int16)
+                    for s in range(S)])
+
+    st1 = encoder_init(CFG48, S)
+    st1, f1 = jax.jit(lambda s, x: encode_step(CFG48, NBYTES, s, x))(st1, pcm)
+
+    st8 = sharded_encoder_init(CFG48, S, mesh)
+    step = make_sharded_encode_step(CFG48, NBYTES, mesh)
+    st8, f8 = step(st8, shard_streams(mesh, pcm))
+
+    assert "streams" in str(f8["x_q"].sharding)
+    # integer coding decisions must agree exactly between the replicated and
+    # SPMD programs on all but knife-edge frames; this synthetic input is
+    # nowhere near a knife edge, so require exact equality of all int fields
+    for k in f1:
+        a, b = np.asarray(f1[k]), np.asarray(f8[k])
+        if a.dtype.kind in "iub":
+            assert np.array_equal(a, b), k
+
+
+def test_sharded_decode_frames_scan():
+    mesh = _mesh()
+    T, S = 3, 16
+    _, frames_raw = _payloads(T, S)
+    parsed = [parse_frames(CFG48, p) for p in frames_raw]
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *parsed)
+
+    st = sharded_decoder_init(CFG48, S, mesh)
+    run = make_sharded_decode_frames(CFG48, NBYTES * 8, mesh)
+    st, pcm = run(st, shard_streams(mesh, stacked, axis=1))
+    assert pcm.shape == (T, S, CFG48.nf)
+    assert "streams" in str(pcm.sharding)
+
+    # reference: unsharded stepwise decode
+    st1 = decoder_init(CFG48, S)
+    step = jax.jit(lambda s, f: decode_step(CFG48, NBYTES * 8, s, f))
+    outs = []
+    for f in range(T):
+        st1, p = step(st1, parsed[f])
+        outs.append(np.asarray(p))
+    d = np.abs(np.asarray(pcm).astype(int) - np.stack(outs).astype(int))
     assert d.max() <= 1
     assert (d > 0).mean() < 0.01

@@ -49,8 +49,27 @@ def test_pipelined_decode_stream_matches_sequential():
     dec_seq = BatchDecoder(CFG48, S, nbytes)
     seq = [dec_seq.decode(b) for b in batches]
     dec_pipe = BatchDecoder(CFG48, S, nbytes)
-    piped = dec_pipe.decode_stream(iter(batches))
+    piped = dec_pipe.decode_stream(iter(batches), pipeline=True)
     assert len(piped) == nframes
     for a, b in zip(seq, piped):
         assert np.array_equal(a, b)
     assert dec_pipe.metrics.plc_frames == 1
+
+
+def test_pipelined_decode_stream_propagates_producer_error():
+    """A producer-thread failure must raise in the caller, not hang."""
+    S, nbytes = 2, 80
+    oracle_enc = Lc3Encoder(1, FrameDuration.MS10, 48000)
+    sig = _signal(1, 330)
+    p = bytes(oracle_enc.encode_frame(0, sig, nbytes))
+    good = np.frombuffer(p * S, np.uint8).reshape(S, nbytes).copy()
+
+    def batches():
+        yield good
+        raise RuntimeError("upstream source failed")
+
+    dec = BatchDecoder(CFG48, S, nbytes)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="upstream source failed"):
+        dec.decode_stream(batches(), pipeline=True)

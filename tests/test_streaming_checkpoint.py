@@ -86,6 +86,32 @@ def test_checkpoint_resume_bitexact(tmp_path):
     assert np.array_equal(np.stack(outs_live), np.stack(outs_rest))
 
 
+def test_checkpoint_validation_rejects_mismatches(tmp_path):
+    import pytest
+
+    S = 2
+    st = decoder_init(CFG48, S)
+    path = str(tmp_path / "state.npz")
+    save_state(path, st, config_tag="48000/MS10/S=2")
+
+    # wrong batch size -> shape mismatch
+    with pytest.raises(ValueError, match="shape"):
+        load_state(path, decoder_init(CFG48, 4))
+    # wrong config tag
+    with pytest.raises(ValueError, match="config mismatch"):
+        load_state(path, decoder_init(CFG48, S), config_tag="48000/MS10/S=4")
+    # matching tag loads fine
+    load_state(path, decoder_init(CFG48, S), config_tag="48000/MS10/S=2")
+    # structural drift: a tree with different field names must fail loudly
+    like = {"mem_ola": np.zeros((S, 480 - 180), np.float32)}
+    with pytest.raises(ValueError, match="field mismatch"):
+        load_state(path, like)
+    # legacy/foreign npz without metadata is rejected
+    np.savez(str(tmp_path / "old.npz"), leaf_0=np.zeros(3))
+    with pytest.raises(ValueError, match="missing metadata"):
+        load_state(str(tmp_path / "old.npz"), decoder_init(CFG48, S))
+
+
 def test_metrics():
     m = CodecMetrics()
     m.record_decode(100, 0.01, n_bad=2)

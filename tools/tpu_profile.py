@@ -88,10 +88,112 @@ def run_trace(kind: str, n_streams: int, steps: int, trace_dir: str) -> None:
         for _ in range(steps):
             st, out = step(st, bytes_dev)
         jax.block_until_ready((st, out))
+    elif kind == "encode_stages":
+        # per-stage attribution: jit each encoder stage standalone with real
+        # intermediates and measure each under its own trace window
+        import jax.numpy as jnp
+
+        from lc3jax.dsp import encoder as E
+
+        p = E.encoder_params(cfg)
+        state = E.encoder_init(cfg, n_streams)
+        pcm_b = jax.device_put(np.tile(pcm, (n_streams, 1)))
+        nbits = nbytes * 8
+
+        mdct = jax.jit(lambda st, xs: E.forward_mdct(p, st.time_buf, xs))
+        tb, x0, e_b, nn = mdct(state, pcm_b)
+        bwd = jax.jit(lambda e: E.bandwidth_detect(p, e))
+        bw_ind, nbits_bw = bwd(e_b)
+        att = jax.jit(lambda st, xs: E.attack_detect(p, st, xs, nbytes))
+        attack, _ = att(state, pcm_b)
+        sns = jax.jit(lambda x, e, a: E.sns_analysis(p, x, e, a))
+        x1, _sns = sns(x0, e_b, attack)
+        tns = jax.jit(lambda x, b, nn: E.tns_analysis_batch(p, x, b, nbits, nn))
+        x2, tns_f = tns(x1, bw_ind, nn)
+        ltpf = jax.jit(lambda st, xs, nn: E.ltpf_analysis(cfg, st.ltpf, xs, nn, nbits))
+        ltpf_f, _ = ltpf(state, pcm_b, nn)
+        quant = jax.jit(
+            lambda st, x, nt, nl: E.spectral_quantize(p, st, x, nbits, nbits_bw, nt, nl)
+        )
+        x_q, quant_f, _ = quant(state, x2, tns_f["nbits_tns"], ltpf_f["nbits_ltpf"])
+        bitc = jax.jit(lambda xq, nsp: E.bit_consumption(p, xq, nbits, nsp))
+        res = jax.jit(
+            lambda nsp, ntr, gg, x, xq: E.residual_bits_batch(p, nsp, ntr, gg, x, xq)
+        )
+        noise = jax.jit(lambda x, xq, b, gg: E.noise_level_batch(p, x, xq, b, gg))
+
+        stages = [
+            ("mdct", lambda: mdct(state, pcm_b)),
+            ("bandwidth", lambda: bwd(e_b)),
+            ("attack", lambda: att(state, pcm_b)),
+            ("sns", lambda: sns(x0, e_b, attack)),
+            ("tns", lambda: tns(x1, bw_ind, nn)),
+            ("ltpf", lambda: ltpf(state, pcm_b, nn)),
+            ("quantize(incl 2x bitmodel)", lambda: quant(
+                state, x2, tns_f["nbits_tns"], ltpf_f["nbits_ltpf"])),
+            ("bit_consumption(single)", lambda: bitc(x_q, quant_f["nbits_spec"])),
+            ("residual", lambda: res(quant_f["nbits_spec"], quant_f["nbits_trunc"],
+                                     quant_f["gg"], x2, x_q)),
+            ("noise_level", lambda: noise(x2, x_q, bw_ind, quant_f["gg"])),
+        ]
+        for name, fn in stages:
+            jax.block_until_ready(fn())  # compile
+        jax.profiler.start_trace(trace_dir)
+        for name, fn in stages:
+            for _ in range(steps):
+                out = fn()
+            jax.block_until_ready(out)
+        time.sleep(2)
+        jax.profiler.stop_trace()
+        analyze_stages(trace_dir, [n for n, _ in stages], steps, n_streams)
+        raise SystemExit(0)
     else:
         raise SystemExit(f"unknown kind {kind}")
     time.sleep(2)  # let the trace collector drain
     jax.profiler.stop_trace()
+
+
+def analyze_stages(trace_dir: str, names: list, steps: int, n_streams: int) -> None:
+    """Group device module events in timestamp order into per-stage chunks."""
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True)
+    if not paths:
+        raise SystemExit("no trace produced")
+    with gzip.open(max(paths, key=os.path.getmtime)) as f:
+        data = json.load(f)
+    ev = data["traceEvents"]
+    pids = {
+        e["pid"]: e["args"]["name"]
+        for e in ev
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    dev_pid = next((p for p, n in pids.items() if "TPU" in n), None)
+    tids = {
+        (e["pid"], e["tid"]): e["args"]["name"]
+        for e in ev
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
+    }
+    mod_tid = next(t for (p, t), n in tids.items() if p == dev_pid and n == "XLA Modules")
+    mods = sorted(
+        (e for e in ev if e.get("ph") == "X" and e["pid"] == dev_pid and e["tid"] == mod_tid),
+        key=lambda e: e["ts"],
+    )
+    # each stage dispatched `steps` times sequentially: chunk jit module
+    # events in timestamp order
+    jit_mods = [e for e in mods if e["name"].startswith("jit")]
+    if len(jit_mods) != steps * len(names):
+        print(f"warning: {len(jit_mods)} jit modules, expected {steps * len(names)}"
+              f" ({sorted(set(e['name'] for e in mods))[:8]}...)")
+    total = 0.0
+    print(f"per-stage device time (S={n_streams}, median of {steps}):")
+    for i, label in enumerate(names):
+        chunk = jit_mods[i * steps : (i + 1) * steps]
+        if not chunk:
+            break
+        d = sorted(e["dur"] for e in chunk)
+        med = d[len(d) // 2] / 1e3
+        total += med
+        print(f"  {med:9.3f} ms  {label}  [{chunk[0]['name'][:40]}]")
+    print(f"  {total:9.3f} ms  TOTAL (stage sum)")
 
 
 def analyze(trace_dir: str, steps: int, n_streams: int) -> None:
