@@ -377,7 +377,7 @@ def device_parse(cfg: Lc3Config, nbytes: int, payloads: jax.Array) -> ParsedFram
     zero_frame = (lastnz == 2) & (x[:, 0] == 0) & (x[:, 1] == 0) & (gg_ind == 0)
 
     # ---------------- MPVQ de-enumeration (spectral_noise_shaping.rs:155-199)
-    offsets = jnp.asarray(T.MPVQ_OFFSETS, I32)
+    offsets_np = np.asarray(T.MPVQ_OFFSETS, np.int64)
 
     def deenum(dim, k_val, ls_ind, ind, enabled):
         y = jnp.zeros((S, 16), I32)
@@ -386,16 +386,20 @@ def device_parse(cfg: Lc3Config, nbytes: int, payloads: jax.Array) -> ParsedFram
         ind = ind.astype(I32)
         done = ~enabled
         for p in range(dim):
-            row = offsets[dim - 1 - p]  # [11]
+            row = offsets_np[dim - 1 - p]  # [11] static python ints
             hit_zero = ~done & (ind == 0)
             y = y.at[:, p].set(jnp.where(hit_zero, k_max * lead, y[:, p]))
             done = done | hit_zero
-            # walk k_acc down while ind < row[k_acc]
-            k_acc = k_max
-            for _ in range(11):
-                below = ~done & (ind < row[jnp.clip(k_acc, 0, 10)])
-                k_acc = jnp.where(below, k_acc - 1, k_acc)
-            ind_new = ind - row[jnp.clip(k_acc, 0, 10)]
+            # "walk k_acc down while ind < row[k_acc]" = largest k <= k_acc
+            # with row[k] <= ind; the rows are nondecreasing, so it is a
+            # comparison count against static constants — no gathers
+            cnt = sum((ind >= int(row[j])).astype(I32) for j in range(1, 11))
+            k_acc = jnp.minimum(k_max, cnt)  # row[0] == 0 <= ind always
+            rowval = jnp.zeros(S, I32)
+            for j in range(11):
+                if int(row[j]) != 0:
+                    rowval = rowval + jnp.where(k_acc == j, I32(int(row[j])), 0)
+            ind_new = ind - rowval
             k_delta = k_max - k_acc
             put = ~done & (k_delta != 0)
             y = y.at[:, p].set(jnp.where(put, k_delta * lead, y[:, p]))

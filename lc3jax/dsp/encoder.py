@@ -329,7 +329,7 @@ for _j, _g in enumerate(T.SNS_GAINS_BY_SHAPE):
     _SNS_GAINS_PAD[_j, : len(_g)] = _g
 
 
-def sns_analysis(p: EncoderParams, x, e_b, attack):
+def sns_analysis(p: EncoderParams, x, e_b, attack, use_pallas: bool | None = None):
     """Full SNS analysis + two-stage VQ; returns (shaped x, bitstream fields)."""
     S = x.shape[0]
     nb = p.cfg.nb
@@ -391,13 +391,26 @@ def sns_analysis(p: EncoderParams, x, e_b, attack):
         "sr,rn->sn", r1, d, preferred_element_type=F32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon") and S % 128 == 0
+    if use_pallas:
+        # whole PVQ pyramid + shape/gain search in one VMEM-resident kernel
+        # (pallas_sns.py), bit-exact vs the XLA path below
+        from .pallas_sns import sns_pvq_pallas
+
+        y_sel, y0s, xq_sel, shape_j, gind, g_sel = sns_pvq_pallas(t2rot)
+        return _sns_finish(p, x, st1, ind_lf, ind_hf, t2rot, d,
+                           y_sel, y0s, xq_sel, shape_j, gind, g_sel)
+
     abs_x = jnp.abs(t2rot)
-    abs_sum = jnp.sum(abs_x, axis=1, keepdims=True)
+    # sequential f32 folds mirroring the reference's accumulation order
+    # (spectral_noise_shaping.rs:387-405)
+    abs_sum = jnp.cumsum(abs_x, axis=1)[:, -1:]
     proj = (F32(6.0) - F32(1.0)) / abs_sum
     y3 = jnp.floor(abs_x * proj).astype(jnp.int32)
     k0 = jnp.sum(y3, axis=1)
-    corr = jnp.sum(y3.astype(F32) * abs_x, axis=1)
-    energy = jnp.sum((y3 * y3).astype(F32), axis=1)
+    corr = jnp.cumsum(y3.astype(F32) * abs_x, axis=1)[:, -1]
+    energy = jnp.cumsum((y3 * y3).astype(F32), axis=1)[:, -1]
 
     def greedy_round(y, corr_l, energy_l, corr_art, energy_art, need, n_active):
         """One greedy pulse: cross-multiplied comparison scanned lane by lane
@@ -483,7 +496,7 @@ def sns_analysis(p: EncoderParams, x, e_b, attack):
     def normalize(y, n_active):
         lane_ok = jnp.arange(16)[None, :] < n_active
         yf = jnp.where(lane_ok, y, 0).astype(F32)
-        norm = jnp.sqrt(jnp.sum(yf * yf, axis=1, keepdims=True))
+        norm = jnp.sqrt(jnp.cumsum(yf * yf, axis=1)[:, -1:])  # sequential fold
         return jnp.where(yf != 0.0, yf / norm, yf)
 
     xq = jnp.stack(
@@ -506,6 +519,16 @@ def sns_analysis(p: EncoderParams, x, e_b, attack):
     xq_sel = jnp.take_along_axis(xq, shape_j[:, None, None], axis=1)[:, 0]  # [S,16]
     y_sel = jnp.stack([y0s, y1s, y2s, y3s], axis=1)
     y_sel = jnp.take_along_axis(y_sel, shape_j[:, None, None], axis=1)[:, 0]
+    return _sns_finish(p, x, st1, ind_lf, ind_hf, t2rot, d,
+                       y_sel, y0s, xq_sel, shape_j, gind, g_sel)
+
+
+def _sns_finish(p: EncoderParams, x, st1, ind_lf, ind_hf, t2rot, d,
+                y_sel, y0s, xq_sel, shape_j, gind, g_sel):
+    """MPVQ enumeration, joint-index packing, synthesis, interpolation and
+    spectral shaping (spectral_noise_shaping.rs:527-559,163-201,254-270)."""
+    S = x.shape[0]
+    nb = p.cfg.nb
 
     # MPVQ enumeration on device (int32; indices < 2^25)
     idxa, ls_inda = _mpvq_enum_batch(jnp.where(shape_j[:, None] >= 2, y_sel, jnp.where(jnp.arange(16)[None,:] < 10, y_sel, 0)),
@@ -624,25 +647,38 @@ def tns_analysis_batch(p: EncoderParams, x, bw_ind, nbits: int, near_nyquist,
     rc_i = jnp.full((S, 16), 8, jnp.int32)
     rc_order = jnp.zeros((S, 2), jnp.int32)
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon") and S % 128 == 0
+    if use_pallas:
+        from .pallas_tns import tns_autocorr_pallas
+
+        ac_all = tns_autocorr_pallas(x, sub)  # [S, 2, 3, 9]
+
     for f in range(2):
-        # masked energies and autocorrelations per sub-block
+        # masked energies and autocorrelations per sub-block: zero the
+        # spectrum outside [lo, hi) once, then lag products are static
+        # shifts of the same masked array (xm[n]*xm[n+k] is nonzero exactly
+        # on n in [lo, hi-k), the reference's summation set) — one fused
+        # pass instead of per-lag roll+remask
         r = []
         es_list = []
         ac_ks = []
         for sb in range(3):
+            if use_pallas:
+                es_list.append(ac_all[:, f, sb, 0])
+                ac_ks.append([ac_all[:, f, sb, k] for k in range(9)])
+                continue
             lo = sub[:, f, sb, 0][:, None]
             hi = sub[:, f, sb, 1][:, None]
             m = (pos >= lo) & (pos < hi)
             xm = jnp.where(m, x, 0.0)
-            es = jnp.sum(xm * xm, axis=1)
-            es_list.append(es)
-            acs = []
-            for k in range(9):
-                xk = jnp.where(m, jnp.roll(x, -k, axis=1), 0.0)
-                # product over n in [lo, hi-k): mask n+k < hi
-                mk = m & (pos + k < hi)
-                acs.append(jnp.sum(jnp.where(mk, x * jnp.roll(x, -k, axis=1), 0.0), axis=1))
-            ac_ks.append(acs)
+            xmp = jnp.pad(xm, ((0, 0), (0, 8)))
+            lagged = jnp.stack([xmp[:, k : k + ne] for k in range(9)], axis=1)
+            # keep the contraction on the VPU in f32 (a dot would route to
+            # the MXU with different accumulation)
+            acs9 = jnp.sum(xm[:, None, :] * lagged, axis=2)  # [S, 9]
+            es_list.append(acs9[:, 0])
+            ac_ks.append([acs9[:, k] for k in range(9)])
         e_prod = es_list[0] * es_list[1] * es_list[2]
         rs = []
         for k in range(9):
@@ -954,7 +990,8 @@ def spectral_quantize(p: EncoderParams, state: EncoderState, x_f, nbits: int,
     return x_q, fields, new_quant_state
 
 
-def bit_consumption(p: EncoderParams, x_q, nbits: int, nbits_spec):
+def bit_consumption(p: EncoderParams, x_q, nbits: int, nbits_spec,
+                    use_pallas: bool | None = None):
     """Arithmetic-coder bit model, fully parallel over spectral tuples
     (spectral_quantization.rs:265-348).
 
@@ -1000,6 +1037,19 @@ def bit_consumption(p: EncoderParams, x_q, nbits: int, nbits_spec):
     t2 = jnp.pad(t_pos[:, :-2], ((0, 0), (2, 0)))
     c = (t2 & 15) * 16 + t1  # [S,NT] in [0,255]
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon") and S % 128 == 0
+    if use_pallas:
+        # fused VMEM-resident lookups (see pallas_bitmodel.py); bit-identical
+        # to the XLA one-hot path below
+        from .pallas_bitmodel import bitmodel_table_part
+
+        go0 = go[:, :, 0]
+        est_c = bitmodel_table_part(c, g, sym, rate_flag, ne)
+        return _bit_consumption_tail(
+            est_c, a0, b0, g, go0, lastnz, nbits_spec, mode_flag, rate_flag, NT
+        )
+
     # TAB[hi][c, L*17 + sym] = AC_SPEC_BITS[AC_SPEC_LOOKUP[c + rate + hi*256
     # + L*1024], sym]; the hi flag (n > ne/2) is static per position
     lut = np.asarray(T.AC_SPEC_LOOKUP, np.int64)
@@ -1043,10 +1093,20 @@ def bit_consumption(p: EncoderParams, x_q, nbits: int, nbits_spec):
         jnp.where(fin_idx[:, :, None] == jnp.arange(68)[None, None, :], bitsk, 0.0),
         axis=2,
     )
+    return _bit_consumption_tail(
+        est_c, a0, b0, g, go0, lastnz, nbits_spec, mode_flag, rate_flag, NT
+    )
+
+
+def _bit_consumption_tail(est_c, a0, b0, g, go0, lastnz, nbits_spec,
+                          mode_flag, rate_flag, NT):
+    """Everything after the table lookups: sign/payload bits, cumsum,
+    truncation (spectral_quantization.rs:281-348)."""
+    I32 = jnp.int32
     gf = g.astype(F32)
     # per-go-level 2-bit payloads; at level 0 in mode_flag they go to lsb
     if mode_flag:
-        est_c = est_c + F32(4096.0) * (gf - gof[:, :, 0])
+        est_c = est_c + F32(4096.0) * (gf - go0.astype(F32))
         nlsb_c = 2 * go0.astype(I32)
         lev_pos = g > 0
         nlsb_c = nlsb_c + (lev_pos & ((a0 >> 1) == 0) & (a0 != 0)).astype(I32)

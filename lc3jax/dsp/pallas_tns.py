@@ -120,6 +120,52 @@ def _tns_enc_kernel(ne: int, x_ref, rc_ref, bounds_ref, order_ref, out_ref, stat
     jax.lax.fori_loop(0, ne, body, 0)
 
 
+def _autocorr_kernel(ne: int, lanes: int, x_ref, sub_ref, out_ref):
+    """All 54 (filter, sub-block, lag) autocorrelation sums in one pass.
+
+    x rides [ne, lanes] in VMEM; each sum masks the window once and reduces
+    lag products of static sublane slices (encoder/temporal_noise_shaping.rs
+    :80-115 sums x[n]*x[n+k] over n in [lo, hi-k) — the masked array is zero
+    outside [lo, hi), so the slice product hits exactly that index set)."""
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (ne, lanes), 0)
+    xv = x_ref[...]
+    for f in range(2):
+        for sb in range(3):
+            lo = sub_ref[f * 6 + sb * 2, :][None, :]
+            hi = sub_ref[f * 6 + sb * 2 + 1, :][None, :]
+            xm = jnp.where((iota_n >= lo) & (iota_n < hi), xv, 0.0)
+            for k in range(9):
+                prod = xm[: ne - k, :] * xm[k:, :]
+                out_ref[f * 27 + sb * 9 + k, :] = jnp.sum(prod, axis=0)
+    out_ref[54, :] = jnp.zeros((lanes,), F32)
+    out_ref[55, :] = jnp.zeros((lanes,), F32)
+
+
+def tns_autocorr_pallas(x, sub, interpret: bool = False):
+    """x [S, ne] f32, sub [S, 2, 3, 2] int32 -> [S, 2, 3, 9] f32 lag sums.
+
+    S must be a multiple of 128."""
+    S, ne = x.shape
+    assert S % LANES == 0, "pad the stream axis to a multiple of 128"
+    lanes = LANES
+    while lanes < 1024 and S % (lanes * 2) == 0 and ne * lanes * 2 * 4 < 2 ** 23:
+        lanes *= 2
+    sub_t = sub.reshape(S, 12).T.astype(jnp.int32)
+    out = pl.pallas_call(
+        partial(_autocorr_kernel, ne, lanes),
+        out_shape=jax.ShapeDtypeStruct((56, S), F32),
+        grid=(S // lanes,),
+        in_specs=[
+            pl.BlockSpec((ne, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((56, lanes), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x.T, sub_t)
+    return out[:54].T.reshape(S, 2, 3, 9)
+
+
 def tns_analysis_pallas(p, x, bounds, rc_order, num_filters, rc_q,
                         interpret: bool = False):
     """Drop-in for the analysis lattice scan in dsp.encoder.tns_analysis_batch.

@@ -136,6 +136,9 @@ def run_trace(kind: str, n_streams: int, steps: int, trace_dir: str) -> None:
                                      quant_f["gg"], x2, x_q)),
             ("noise_level", lambda: noise(x2, x_q, bw_ind, quant_f["gg"])),
         ]
+        only = os.environ.get("LC3JAX_STAGE")
+        if only:  # op-level breakdown for a single stage
+            stages = [(n, f) for n, f in stages if n.startswith(only)]
         for name, fn in stages:
             jax.block_until_ready(fn())  # compile
         jax.profiler.start_trace(trace_dir)
@@ -145,7 +148,10 @@ def run_trace(kind: str, n_streams: int, steps: int, trace_dir: str) -> None:
             jax.block_until_ready(out)
         time.sleep(2)
         jax.profiler.stop_trace()
-        analyze_stages(trace_dir, [n for n, _ in stages], steps, n_streams)
+        if only:
+            analyze(trace_dir, steps, n_streams)
+        else:
+            analyze_stages(trace_dir, [n for n, _ in stages], steps, n_streams)
         raise SystemExit(0)
     else:
         raise SystemExit(f"unknown kind {kind}")
