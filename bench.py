@@ -107,22 +107,36 @@ def main() -> None:
     else:
         pack_rtf = 0.0
 
-    # ---- e2e decode: parse (host) and DSP (device) pipeline in parallel in
-    # steady state; throughput is bounded by the slower side
-    e2e_rtf = min(host_rtf, dec_rtf)
+    # ---- fully fused on-device decode: raw frame bytes -> PCM in one XLA
+    # program (Pallas range decoder + batched DSP), no host in the loop
+    from lc3jax.coding.device import decode_bytes_step
+
+    bytes_dev = jax.device_put(batch_bytes)
+    fstate = decoder_init(cfg, n_streams)
+    fstep = jax.jit(partial(decode_bytes_step, cfg, nbytes))
+    fused_ms = device_step_ms(fstep, fstate, (bytes_dev,), steps=10)
+    fused_rtf = n_streams * frame_seconds / (fused_ms / 1e3)
+
+    # host-pipelined alternative (parse on host cores, DSP on device,
+    # overlapped): bounded by the slower side
+    pipelined_rtf = min(host_rtf, dec_rtf)
+    e2e_rtf = max(fused_rtf, pipelined_rtf)
 
     result = {
-        "metric": "aggregate realtime decode factor per chip (48kHz/10ms mono, e2e: native bitstream + device DSP)",
+        "metric": "aggregate realtime decode factor per chip (48kHz/10ms mono, e2e bytes->PCM on device)",
         "value": round(e2e_rtf, 1),
         "unit": "x_realtime",
         "vs_baseline": round(e2e_rtf / baseline, 2),
         "detail": {
             "device": str(jax.devices()[0]),
             "n_streams": n_streams,
+            "fused_bytes_to_pcm_x_realtime": round(fused_rtf, 0),
+            "fused_step_ms": round(fused_ms, 3),
             "decode_dsp_x_realtime": round(dec_rtf, 0),
             "encode_dsp_x_realtime": round(enc_rtf, 0),
             "host_parse_x_realtime": round(host_rtf, 0),
             "host_pack_x_realtime": round(pack_rtf, 0),
+            "host_pipelined_x_realtime": round(pipelined_rtf, 0),
             "host_parse_native": use_native,
             "host_cores": os.cpu_count(),
             "decode_step_ms": round(dec_s * 1e3, 3),

@@ -102,18 +102,44 @@ def _head_byte(buf_i32, head, nbytes, error):
     return v, head + 1, error
 
 
-def device_parse(cfg: Lc3Config, nbytes: int, payloads: jax.Array) -> ParsedFrames:
-    """payloads: uint8 [S, nbytes] -> ParsedFrames (device tensors)."""
-    S = payloads.shape[0]
+def mpvq_deenum(S, dim, k_val, ls_ind, ind, enabled):
+    """MPVQ de-enumeration (spectral_noise_shaping.rs:155-199), gather-free:
+    the "walk k_acc down while ind < row[k_acc]" loop is a comparison count
+    against the static nondecreasing offset row."""
+    offsets_np = np.asarray(T.MPVQ_OFFSETS, np.int64)
+    y = jnp.zeros((S, 16), I32)
+    lead = jnp.where(ls_ind == 0, 1, -1)
+    k_max = jnp.full(S, k_val, I32)
+    ind = ind.astype(I32)
+    done = ~enabled
+    for p in range(dim):
+        row = offsets_np[dim - 1 - p]  # [11] static python ints
+        hit_zero = ~done & (ind == 0)
+        y = y.at[:, p].set(jnp.where(hit_zero, k_max * lead, y[:, p]))
+        done = done | hit_zero
+        cnt = sum((ind >= int(row[j])).astype(I32) for j in range(1, 11))
+        k_acc = jnp.minimum(k_max, cnt)  # row[0] == 0 <= ind always
+        rowval = jnp.zeros(S, I32)
+        for j in range(11):
+            if int(row[j]) != 0:
+                rowval = rowval + jnp.where(k_acc == j, I32(int(row[j])), 0)
+        ind_new = ind - rowval
+        k_delta = k_max - k_acc
+        put = ~done & (k_delta != 0)
+        y = y.at[:, p].set(jnp.where(put, k_delta * lead, y[:, p]))
+        lead = jnp.where(put, jnp.where((ind_new & 1) != 0, -1, 1), lead)
+        ind = jnp.where(~done, jnp.where(put, ind_new >> 1, ind_new), ind)
+        k_max = jnp.where(put, k_acc, k_max)
+    return y
+
+
+def read_side_info(r, cfg: Lc3Config, S: int):
+    """Side-info demux through any tail-reader with the `_TailReader`
+    interface (side_info_reader.rs:29-103); returns (fields dict, bad)."""
     ne = cfg.ne
     fs_ind = cfg.fs_ind
-    nbits = nbytes * 8
-    buf = payloads.astype(I32)
-
-    r = _TailReader(payloads)
     bad = jnp.zeros(S, bool)
 
-    # ---------------- side info (side_info_reader.rs:29-103)
     nbits_bw = [0, 1, 2, 2, 3][fs_ind]
     if nbits_bw > 0:
         p_bw = r.read(nbits_bw)
@@ -174,6 +200,56 @@ def device_parse(cfg: Lc3Config, nbytes: int, payloads: jax.Array) -> ParsedFram
     pitch_index = r.read_masked(9, pitch_present)
     noise_factor = r.read(3)
     bad = bad | r.error  # tail-reader overrun during side info
+    return dict(
+        p_bw=p_bw, lastnz=lastnz, lsb_mode=lsb_mode, gg_ind=gg_ind,
+        num_tns=num_tns, rc_flag0=rc_flag0, rc_flag1=rc_flag1,
+        pitch_present=pitch_present, ind_lf=ind_lf, ind_hf=ind_hf,
+        g_ind=g_ind, idx_a=idx_a, idx_b=idx_b, ls_inda=ls_inda,
+        ls_indb=ls_indb, shape_j=shape_j, ltpf_active=ltpf_active,
+        pitch_index=pitch_index, noise_factor=noise_factor,
+    ), bad
+
+
+def device_parse(cfg: Lc3Config, nbytes: int, payloads: jax.Array,
+                 use_pallas: bool | None = None) -> ParsedFrames:
+    """payloads: uint8 [S, nbytes] -> ParsedFrames (device tensors).
+
+    use_pallas=True routes the serial range-decoder core through the
+    Pallas kernel in pallas_parse.py (default on TPU backends when S is a
+    multiple of 128); the XLA path below is the reference formulation."""
+    S = payloads.shape[0]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon") and S % 128 == 0
+    if use_pallas:
+        from .pallas_parse import device_parse_pallas
+
+        return device_parse_pallas(cfg, nbytes, payloads)
+
+    ne = cfg.ne
+    fs_ind = cfg.fs_ind
+    nbits = nbytes * 8
+    buf = payloads.astype(I32)
+
+    r = _TailReader(payloads)
+    side, bad = read_side_info(r, cfg, S)
+    p_bw = side["p_bw"]
+    lastnz = side["lastnz"]
+    lsb_mode = side["lsb_mode"]
+    gg_ind = side["gg_ind"]
+    num_tns = side["num_tns"]
+    rc_flag0 = side["rc_flag0"]
+    rc_flag1 = side["rc_flag1"]
+    ind_lf = side["ind_lf"]
+    ind_hf = side["ind_hf"]
+    g_ind = side["g_ind"]
+    idx_a = side["idx_a"]
+    idx_b = side["idx_b"]
+    ls_inda = side["ls_inda"]
+    ls_indb = side["ls_indb"]
+    shape_j = side["shape_j"]
+    ltpf_active = side["ltpf_active"]
+    pitch_index = side["pitch_index"]
+    noise_factor = side["noise_factor"]
 
     # ---------------- arithmetic decoder init (arithmetic_codec.rs:57-65)
     head = jnp.zeros(S, I32)
@@ -377,36 +453,7 @@ def device_parse(cfg: Lc3Config, nbytes: int, payloads: jax.Array) -> ParsedFram
     zero_frame = (lastnz == 2) & (x[:, 0] == 0) & (x[:, 1] == 0) & (gg_ind == 0)
 
     # ---------------- MPVQ de-enumeration (spectral_noise_shaping.rs:155-199)
-    offsets_np = np.asarray(T.MPVQ_OFFSETS, np.int64)
-
-    def deenum(dim, k_val, ls_ind, ind, enabled):
-        y = jnp.zeros((S, 16), I32)
-        lead = jnp.where(ls_ind == 0, 1, -1)
-        k_max = jnp.full(S, k_val, I32)
-        ind = ind.astype(I32)
-        done = ~enabled
-        for p in range(dim):
-            row = offsets_np[dim - 1 - p]  # [11] static python ints
-            hit_zero = ~done & (ind == 0)
-            y = y.at[:, p].set(jnp.where(hit_zero, k_max * lead, y[:, p]))
-            done = done | hit_zero
-            # "walk k_acc down while ind < row[k_acc]" = largest k <= k_acc
-            # with row[k] <= ind; the rows are nondecreasing, so it is a
-            # comparison count against static constants — no gathers
-            cnt = sum((ind >= int(row[j])).astype(I32) for j in range(1, 11))
-            k_acc = jnp.minimum(k_max, cnt)  # row[0] == 0 <= ind always
-            rowval = jnp.zeros(S, I32)
-            for j in range(11):
-                if int(row[j]) != 0:
-                    rowval = rowval + jnp.where(k_acc == j, I32(int(row[j])), 0)
-            ind_new = ind - rowval
-            k_delta = k_max - k_acc
-            put = ~done & (k_delta != 0)
-            y = y.at[:, p].set(jnp.where(put, k_delta * lead, y[:, p]))
-            lead = jnp.where(put, jnp.where((ind_new & 1) != 0, -1, 1), lead)
-            ind = jnp.where(~done, jnp.where(put, ind_new >> 1, ind_new), ind)
-            k_max = jnp.where(put, k_acc, k_max)
-        return y
+    deenum = partial(mpvq_deenum, S)
 
     yA10 = deenum(10, 10, ls_inda, idx_a, (shape_j == 0) | (shape_j == 1))
     yB6 = deenum(6, 1, ls_indb, idx_b, shape_j == 0)

@@ -1,0 +1,622 @@
+"""Pallas TPU kernel: the LC3 range decoder, gather-free.
+
+SURVEY.md section 7.3 ranks the arithmetic coder on device the hardest part
+of the TPU rebuild. The first XLA formulation (coding/device.py) is
+bit-exact but runs at ~20-70x realtime: every byte/bit pull is a
+per-stream take_along_axis gather (~20 ns/element on v5e), and a 200-step
+scan with an unrolled 14-level escape ladder issues ~86 of them per step.
+
+This module rebuilds the serial core with the gather-free discipline that
+fixed the encoder (CLAUDE.md): streams ride wide lane blocks, and the two
+bitstream cursors become *word funnels* — the payload lives in VMEM as
+32-bit little-endian word rows ([words, lanes]), pulls read a 16-word
+window via one-hot masked sums plus per-lane variable shifts, and the
+window advances with masked power-of-two `pltpu.roll`s only when some lane
+crosses a word boundary. Table fetches are one-hot masked sums against
+packed spec tables (the 4 per-level model indices in one int32, cumfreq
+rows as 3x10-bit fields), and the escape ladder is a `lax.while_loop` that
+exits as soon as no lane is still escaping.
+
+Split of labor (all bit-exact vs coding/device.py and the host parsers,
+fuzz-tested in tests/test_fuzz_bitstream.py):
+- XLA: side-info demux via `_WordTailReader` (funnel, no gathers), MPVQ
+  de-enumeration, final ParsedFrames assembly.
+- kernel: arithmetic decoder init, TNS order/coef symbols, the spectral
+  tuple loop (escape ladder, LSB pre-bits, sign bits, context chain),
+  residual-bit extraction and the LSB refinement pass.
+
+Reference semantics: decoder/arithmetic_codec.rs, decoder/buffer_reader.rs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import tables as T
+from ..config import FrameDuration, Lc3Config
+from ..dsp.decoder import ParsedFrames
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+# scratch state rows
+LOW, RNG, HOFF, HEADCNT, TOFF, CURSOR, ERR, CTX = 0, 1, 2, 3, 4, 5, 6, 7
+XK, XK1, LEV, GOING, SYM, PKI4 = 8, 9, 10, 11, 12, 13  # PKI4 spans rows 13..16
+CNT, NEGB = 17, 18
+
+
+def _pack_words(bytes_i32):
+    """[S, nb] byte values -> [S, ceil(nb/4)] little-endian int32 words."""
+    S, nb = bytes_i32.shape
+    nw = -(-nb // 4)
+    b = jnp.pad(bytes_i32, ((0, 0), (0, nw * 4 - nb)))
+    return (b[:, 0::4] | (b[:, 1::4] << 8) | (b[:, 2::4] << 16)
+            | (b[:, 3::4] << 24))
+
+
+class _WordTailReader:
+    """Backwards bit reader as a word funnel — drop-in for device._TailReader.
+
+    The reversed payload is packed into little-endian words; the next
+    unread bit always lives at `bitoff` of word 0, so every read is a
+    static two-word extract and the funnel advances by at most one word
+    (reads are <= 25 bits). Mirrors buffer_reader.rs:63-114 overrun checks.
+    """
+
+    def __init__(self, payloads: jax.Array):
+        S, nbytes = payloads.shape
+        self.nbytes = nbytes
+        rev = payloads[:, ::-1].astype(I32)
+        w = _pack_words(rev)
+        self.words = jnp.pad(w, ((0, 0), (0, 2))).astype(U32)
+        self.bitoff = jnp.zeros(S, I32)
+        self.cursor = jnp.zeros(S, I32)
+        self.error = jnp.zeros(S, bool)
+
+    def read(self, nbits, advance=None, active=None):
+        sh = self.bitoff.astype(U32)
+        lo = self.words[:, 0] >> sh
+        hi = jnp.where(self.bitoff == 0, U32(0),
+                       self.words[:, 1] << (U32(32) - sh))
+        mask = (U32(1) << jnp.asarray(nbits, U32)) - U32(1)
+        value = ((lo | hi) & mask).astype(I32)
+        adv = jnp.broadcast_to(
+            jnp.asarray(nbits if advance is None else advance, I32),
+            self.cursor.shape,
+        )
+        byte_index = self.cursor >> 3
+        bits_left = 8 - (self.cursor & 7)
+        nb = (adv >> 3) + jnp.where((adv > bits_left) & (adv < 8), 2, 1)
+        overrun = self.nbytes - byte_index - nb < 0
+        if active is not None:
+            overrun = overrun & active
+        self.error = self.error | (overrun & (adv > 0))
+        self.cursor = self.cursor + adv
+        self.bitoff = self.bitoff + adv
+        shift = (self.bitoff >> 5) > 0  # at most one word per read
+        shifted = jnp.concatenate(
+            [self.words[:, 1:], jnp.zeros_like(self.words[:, :1])], axis=1
+        )
+        self.words = jnp.where(shift[:, None], shifted, self.words)
+        self.bitoff = self.bitoff & 31
+        return value
+
+    def read_masked(self, nbits: int, do):
+        v = self.read(nbits, advance=jnp.where(do, nbits, 0), active=do)
+        return jnp.where(do, v, 0)
+
+
+def _build_tables(rate_flag: int):
+    lut = np.asarray(T.AC_SPEC_LOOKUP, np.int64)
+    cum = np.asarray(T.AC_SPEC_CUMFREQ, np.int64)  # [64, 17], diff == freq
+    # pkb[hi*4 + L, c] = model index for (hi, level L) at context c; values
+    # <= 63 so the bf16 one-hot matmul fetch is exact
+    idx = (
+        np.arange(256)[None, :]
+        + rate_flag
+        + (np.arange(8)[:, None] // 4) * 256
+        + (np.arange(8)[:, None] % 4) * 1024
+    )
+    pkb = lut[idx].astype(np.float32)  # [8, 256]
+    # cum rows byte-split for the MXU one-hot fetch: rows 0..16 the high
+    # two bits, rows 17..33 the low byte (values <= 1023), transposed so a
+    # [34,64]@[64,L] matmul returns the whole row per lane
+    cumb = np.zeros((40, 64), np.float32)
+    cumb[0:17] = (cum >> 8).T
+    cumb[17:34] = (cum & 255).T
+    return (pkb, cumb)
+
+
+def _tns_tables(lpcw: int):
+    oc = [int(v) for v in np.asarray(T.AC_TNS_ORDER_CUMFREQ)[lpcw]]
+    of = [int(v) for v in np.asarray(T.AC_TNS_ORDER_FREQ)[lpcw]]
+    cc = [[int(v) for v in row] for row in np.asarray(T.AC_TNS_COEF_CUMFREQ)]
+    cf = [[int(v) for v in row] for row in np.asarray(T.AC_TNS_COEF_FREQ)]
+    return oc, of, cc, cf
+
+
+def _parse_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
+                  lpcw: int,
+                  hw_ref, tw_ref, side_ref, pkb_ref, cumb_ref,
+                  x_ref, res_ref, tns_ref, misc_ref,
+                  hwb, twb, xs, slev, st):
+    NT = ne // 2
+    nbits = nbytes * 8
+    oc, of, cc, cf = _tns_tables(lpcw)
+    iota256 = jax.lax.broadcasted_iota(I32, (256, lanes), 0)
+    iota64 = jax.lax.broadcasted_iota(I32, (64, lanes), 0)
+    iota32w = jax.lax.broadcasted_iota(I32, (32, lanes), 0)
+    iota8w = jax.lax.broadcasted_iota(I32, (8, lanes), 0)
+
+    lastnz = side_ref[0, :]
+    lsb_mode = side_ref[1, :] > 0
+    rc_flag0 = side_ref[2, :]
+    rc_flag1 = side_ref[3, :]
+    num_tns = side_ref[4, :]
+    bad0 = side_ref[7, :] > 0
+
+    hwb[...] = hw_ref[...]
+    twb[...] = tw_ref[...]
+    st[...] = jnp.zeros((24, lanes), I32)
+    xs[...] = jnp.zeros((xs.shape[0], lanes), I32)
+    slev[...] = jnp.zeros((slev.shape[0], lanes), I32)
+    st[TOFF, :] = side_ref[5, :]
+    st[CURSOR, :] = side_ref[6, :]
+
+    # ---- funnel primitives -------------------------------------------------
+    def head_byte(ofs):
+        """byte at `ofs` bytes into the head window [lanes]."""
+        wi = ofs >> 2
+        w = jnp.sum(jnp.where(iota32w == wi[None, :], hwb[0:32, :], 0), axis=0)
+        return (w >> ((ofs & 3) * 8)) & 255
+
+    def tail_bit(ofs):
+        """bit at `ofs` bits into the tail window [lanes]."""
+        wi = ofs >> 5
+        w = jnp.sum(jnp.where(iota8w == wi[None, :], twb[0:8, :], 0), axis=0)
+        return (w >> (ofs & 31)) & 1
+
+    def roll_head():
+        wsh = st[HOFF, :] >> 2
+        w = hwb[...]
+        for b in range(5):  # per-lane shift 0..28 words (4 tuples deep)
+            bit = ((wsh >> b) & 1) > 0
+            w = jnp.where(bit[None, :], pltpu.roll(w, nwp - (1 << b), 0), w)
+        hwb[...] = w
+        st[HOFF, :] = st[HOFF, :] & 3
+
+    def roll_tail():
+        wsh = st[TOFF, :] >> 5
+        w = twb[...]
+        for b in range(3):  # per-lane shift 0..5 words (4 tuples deep)
+            bit = ((wsh >> b) & 1) > 0
+            w = jnp.where(bit[None, :], pltpu.roll(w, nwp - (1 << b), 0), w)
+        twb[...] = w
+        st[TOFF, :] = st[TOFF, :] & 31
+
+    def pull_head(need):
+        """one renorm byte pull (mirrors device._head_byte + masking)."""
+        st[ERR, :] = st[ERR, :] | jnp.where(need & (st[HEADCNT, :] >= nbytes), 1, 0)
+        byte = head_byte(st[HOFF, :])
+        st[HOFF, :] = st[HOFF, :] + jnp.where(need, 1, 0)
+        st[HEADCNT, :] = st[HEADCNT, :] + jnp.where(need, 1, 0)
+        return byte
+
+    def pull_tail(do):
+        """one tail bit (mirrors device.tail_bit: value masked by `do`,
+        overrun check vs the head cursor)."""
+        byte_index = st[CURSOR, :] >> 3
+        st[ERR, :] = st[ERR, :] | jnp.where(
+            do & (nbytes - st[HEADCNT, :] - byte_index + 2 < 0), 1, 0
+        )
+        bit = (tail_bit(st[TOFF, :]) > 0) & do
+        st[TOFF, :] = st[TOFF, :] + jnp.where(do, 1, 0)
+        st[CURSOR, :] = st[CURSOR, :] + jnp.where(do, 1, 0)
+        return bit
+
+    def renorm(active, new_low, new_rng):
+        for _ in range(2):  # at most two byte pulls per symbol
+            need = active & (new_rng < 0x10000)
+            byte = pull_head(need)
+            new_low = jnp.where(need, ((new_low << 8) & 0xFFFFFF) + byte, new_low)
+            new_rng = jnp.where(need, new_rng << 8, new_rng)
+        return new_low, new_rng
+
+    def ac_decode_const(cum, frq, active):
+        """range-decode one symbol against a static cum/freq row."""
+        low = st[LOW, :]
+        rng = st[RNG, :]
+        tmp16 = rng >> 10
+        st[ERR, :] = st[ERR, :] | jnp.where(active & (low >= (tmp16 << 10)), 1, 0)
+        K = len(cum)
+        ge = [low >= tmp16 * int(cum[k]) for k in range(1, K)]
+        val = sum(jnp.where(g, 1, 0) for g in ge)
+        cum_v = sum(
+            (int(cum[k]) - int(cum[k - 1])) * jnp.where(ge[k - 1], 1, 0)
+            for k in range(1, K)
+            if int(cum[k]) != int(cum[k - 1])
+        ) + jnp.zeros((lanes,), I32)
+        frq_v = int(frq[0]) + sum(
+            (int(frq[k]) - int(frq[k - 1])) * jnp.where(ge[k - 1], 1, 0)
+            for k in range(1, K)
+            if int(frq[k]) != int(frq[k - 1])
+        )
+        new_low = low - tmp16 * cum_v
+        new_rng = tmp16 * frq_v
+        new_low, new_rng = renorm(active, new_low, new_rng)
+        st[LOW, :] = jnp.where(active, new_low, low)
+        st[RNG, :] = jnp.where(active, new_rng, rng)
+        return val
+
+    # ---- arithmetic decoder init (arithmetic_codec.rs:57-65) --------------
+    b0 = pull_head(jnp.ones((lanes,), bool))
+    b1 = pull_head(jnp.ones((lanes,), bool))
+    b2 = pull_head(jnp.ones((lanes,), bool))
+    st[LOW, :] = (b0 << 16) | (b1 << 8) | b2
+    st[RNG, :] = jnp.full((lanes,), 0x00FFFFFF, I32)
+
+    # ---- TNS data (arithmetic_codec.rs:307-344) ---------------------------
+    rc_orders = []
+    for f in range(2):
+        flag = rc_flag0 if f == 0 else rc_flag1
+        in_filter = (f < num_tns) & (flag > 0)
+        val = ac_decode_const(oc, of, in_filter)
+        order_f = jnp.where(in_filter, val + 1, flag)
+        rc_orders.append(order_f)
+        for k in range(8):
+            ink = in_filter & (k < order_f)
+            v = ac_decode_const(cc[k], cf[k], ink)
+            tns_ref[f * 8 + k, :] = jnp.where(ink, v, 0)
+        roll_head()
+    tns_ref[16, :] = rc_orders[0]
+    tns_ref[17, :] = rc_orders[1]
+    for r_ in range(18, 24):
+        tns_ref[r_, :] = jnp.zeros((lanes,), I32)
+
+    # ---- spectral tuples (arithmetic_codec.rs:211-305) --------------------
+    def spec_tuple(p):
+        n = 2 * p
+        in_range = (n < lastnz) & ~bad0
+        hi = n > ne // 2
+
+        # per-level model indices for this tuple's context: one-hot matmul
+        # against the [8, 256] f32 table on the MXU (values <= 63, exact)
+        ohc = (iota256 == st[CTX, :][None, :]).astype(jnp.bfloat16)
+        pkrows = jax.lax.dot_general(
+            pkb_ref[...].astype(jnp.bfloat16), ohc,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # [8, L]: rows hi*4 + L
+        pk4 = jnp.where(hi, pkrows[4:8, :], pkrows[0:4, :]).astype(I32)
+        st[PKI4 : PKI4 + 4, :] = pk4
+        st[GOING, :] = jnp.where(in_range, 1, 0)
+        st[LEV, :] = jnp.zeros((lanes,), I32)
+        st[XK, :] = jnp.zeros((lanes,), I32)
+        st[XK1, :] = jnp.zeros((lanes,), I32)
+        st[SYM, :] = jnp.zeros((lanes,), I32)
+
+        def ladder_cond(it):
+            return (it < 14) & jnp.any(st[GOING, :] > 0)
+
+        def ladder_body(it):
+            going = st[GOING, :] > 0
+            lev4 = jnp.minimum(it, 3)
+            pki = jnp.where(
+                lev4 == 0, st[PKI4, :],
+                jnp.where(lev4 == 1, st[PKI4 + 1, :],
+                          jnp.where(lev4 == 2, st[PKI4 + 2, :], st[PKI4 + 3, :])),
+            )
+            # cum-row fetch on the MXU: one-hot x byte-split table (exact);
+            # everything downstream is row-vectorized [17, L] f32 (products
+            # < 2^24, so the f32 integer arithmetic is exact)
+            ohp = (iota64 == pki[None, :]).astype(jnp.bfloat16)
+            bhl = jax.lax.dot_general(
+                cumb_ref[0:34, :].astype(jnp.bfloat16), ohp,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # [34, L] f32: rows 0..16 hi bits, 17..33 lo byte
+            cums_f = bhl[0:17, :] * 256.0 + bhl[17:34, :]  # [17, L] exact ints
+            low = st[LOW, :]
+            rng = st[RNG, :]
+            tmp16 = rng >> 10
+            st[ERR, :] = st[ERR, :] | jnp.where(
+                going & (low >= (tmp16 << 10)), 1, 0
+            )
+            tmp16_f = tmp16.astype(jnp.float32)
+            low_f = low.astype(jnp.float32)
+            geB = low_f[None, :] >= tmp16_f[None, :] * cums_f  # [17, L]
+            val = jnp.sum(jnp.where(geB[1:17, :], 1, 0), axis=0)
+            diff = cums_f[1:17, :] - cums_f[0:16, :]
+            cum_vf = jnp.sum(jnp.where(geB[1:17, :], diff, 0.0), axis=0)
+            iota16v = jax.lax.broadcasted_iota(I32, (16, lanes), 0)
+            nxt_f = jnp.sum(
+                jnp.where(iota16v == val[None, :], cums_f[1:17, :], 0.0),
+                axis=0,
+            ) + jnp.where(val >= 16, 1024.0, 0.0)
+            cum_v = cum_vf.astype(I32)
+            frq_v = nxt_f.astype(I32) - cum_v
+            new_low = low - tmp16 * cum_v
+            new_rng = tmp16 * frq_v
+            new_low, new_rng = renorm(going, new_low, new_rng)
+            st[LOW, :] = jnp.where(going, new_low, low)
+            st[RNG, :] = jnp.where(going, new_rng, rng)
+            st[SYM, :] = jnp.where(going, val, st[SYM, :])
+            esc = going & (val >= 16)
+            read_lsbs = esc & (~lsb_mode | (it > 0))
+            bit_a = pull_tail(read_lsbs)
+            bit_b = pull_tail(read_lsbs)
+            st[XK, :] = st[XK, :] + jnp.where(read_lsbs & bit_a, 1 << it, 0)
+            st[XK1, :] = st[XK1, :] + jnp.where(read_lsbs & bit_b, 1 << it, 0)
+            st[LEV, :] = jnp.where(esc, st[LEV, :] + 1, st[LEV, :])
+            st[GOING, :] = jnp.where(esc, 1, 0)
+            return it + 1
+
+        jax.lax.while_loop(ladder_cond, ladder_body, 0)
+
+        lev = st[LEV, :]
+        sym = st[SYM, :]
+        a = sym & 3
+        b = sym >> 2
+        xk = st[XK, :] + jnp.where(in_range, a << lev, 0)
+        xk1 = st[XK1, :] + jnp.where(in_range, b << lev, 0)
+        sbit_a = pull_tail(in_range & (xk > 0))
+        xk = jnp.where(sbit_a, -xk, xk)
+        sbit_b = pull_tail(in_range & (xk1 > 0))
+        xk1 = jnp.where(sbit_b, -xk1, xk1)
+        xs[pl.ds(2 * p, 1), :] = xk[None, :]
+        xs[pl.ds(2 * p + 1, 1), :] = xk1[None, :]
+        slev[pl.ds(p, 1), :] = jnp.where(lsb_mode, lev, 0)[None, :]
+
+        lev_c = jnp.minimum(lev, 3)
+        t_next = jnp.where(lev_c <= 1, 1 + (a + b) * (lev_c + 1), 12 + lev_c)
+        st[CTX, :] = jnp.where(
+            in_range, (st[CTX, :] & 15) * 16 + t_next, st[CTX, :]
+        )
+
+    def spec_quad(q, _):
+        for j in range(4):
+            spec_tuple(4 * q + j)
+        roll_head()
+        roll_tail()
+        return 0
+
+    jax.lax.fori_loop(0, NT // 4, spec_quad, 0)
+    for p_ in range(NT - (NT // 4) * 4):
+        spec_tuple((NT // 4) * 4 + p_)
+    roll_head()
+    roll_tail()
+
+    # ---- residual budget (arithmetic_codec.rs:160-208, 390-405) -----------
+    rng = st[RNG, :]
+    log2rng = jnp.zeros((lanes,), I32)
+    for i in range(1, 25):
+        log2rng = log2rng + jnp.where(rng >= (1 << i), 1, 0)
+    nbits_side = st[CURSOR, :] - 8
+    nbits_ari = (st[HEADCNT, :] + 1 - 3) * 8 + 25 - log2rng
+    neg_budget = nbits < nbits_side + nbits_ari
+    nres = jnp.maximum(0, nbits - nbits_side - nbits_ari)
+    st[NEGB, :] = jnp.where(neg_budget, 1, 0)
+
+    # ---- residual bits, non-lsb path (one bit per nonzero line) -----------
+    st[CNT, :] = jnp.zeros((lanes,), I32)  # bits consumed
+    base_cursor = st[CURSOR, :]
+    nep8 = -(-ne // 16)
+    for ci in range(nep8):
+        for j in range(16):
+            line = ci * 16 + j
+            if line >= ne:
+                break
+            xv = xs[line, :]
+            can = (xv != 0) & (st[CNT, :] < nres) & ~lsb_mode
+            byte_index = (base_cursor + st[CNT, :]) >> 3
+            st[ERR, :] = st[ERR, :] | jnp.where(
+                can & (nbytes - st[HEADCNT, :] - byte_index + 2 < 0), 1, 0
+            )
+            bit = (tail_bit(st[TOFF, :]) > 0) & can
+            res_ref[line, :] = jnp.where(bit, 1, 0)
+            st[TOFF, :] = st[TOFF, :] + jnp.where(can, 1, 0)
+            st[CNT, :] = st[CNT, :] + jnp.where(can, 1, 0)
+        roll_tail()
+    for line in range(ne, x_ref.shape[0]):
+        res_ref[line, :] = jnp.zeros((lanes,), I32)
+    n_residual = jnp.where(lsb_mode, 0, st[CNT, :])
+
+    # ---- lsb refinement (mutates x; arithmetic_codec.rs:160-208) ----------
+    bad_pre = bad0 | (st[ERR, :] > 0) | neg_budget
+    budget = jnp.where(lsb_mode, nres, 0)
+    st[CNT, :] = budget
+
+    def lsb_one(idx, pair_on):
+        can = pair_on & (st[CNT, :] > 0)
+        b1 = pull_tail(can)
+        st[CNT, :] = st[CNT, :] - jnp.where(can, 1, 0)
+        xv = xs[idx, :]
+        pos_v = can & b1 & (xv > 0)
+        neg_v = can & b1 & (xv < 0)
+        zer_v = can & b1 & (xv == 0)
+        can2 = zer_v & (st[CNT, :] > 0)
+        b2 = pull_tail(can2)
+        st[CNT, :] = st[CNT, :] - jnp.where(can2, 1, 0)
+        new_xv = jnp.where(pos_v, xv + 1, xv)
+        new_xv = jnp.where(neg_v, new_xv - 1, new_xv)
+        new_xv = jnp.where(can2, jnp.where(b2, -1, 1), new_xv)
+        xs[idx, :] = new_xv
+
+    ntp8 = -(-NT // 8)
+    for ci in range(ntp8):
+        for j in range(8):
+            p = ci * 8 + j
+            if p >= NT:
+                break
+            n = 2 * p
+            pair_on = lsb_mode & (n < lastnz) & ~bad_pre & (slev[p, :] > 0)
+            lsb_one(n, pair_on)
+            lsb_one(n + 1, pair_on)
+        roll_tail()
+
+    # ---- outputs ----------------------------------------------------------
+    x_ref[...] = xs[...]
+    misc_ref[0, :] = st[ERR, :]
+    misc_ref[1, :] = st[NEGB, :]
+    misc_ref[2, :] = n_residual
+    for r_ in range(3, 8):
+        misc_ref[r_, :] = jnp.zeros((lanes,), I32)
+
+
+def _run_kernel(cfg: Lc3Config, nbytes: int, headwords, tailwords, side_rows,
+                interpret: bool = False):
+    ne = cfg.ne
+    S = headwords.shape[0]
+    nbits = nbytes * 8
+    fs_ind = cfg.fs_ind
+    rate_flag = 512 if nbits > (160 + fs_ind * 160) else 0
+    is_7p5 = cfg.n_ms == FrameDuration.MS7P5
+    lpcw = 1 if nbits < (360 if is_7p5 else 480) else 0
+    pkb, cumb = _build_tables(rate_flag)
+
+    nw = -(-nbytes // 4)
+    nwp = -(-(nw + 33) // 8) * 8
+    nep = -(-ne // 8) * 8
+    ntp = -(-(ne // 2) // 8) * 8
+
+    hw = jnp.pad(headwords, ((0, 0), (0, nwp - headwords.shape[1])))
+    tw = jnp.pad(tailwords, ((0, 0), (0, nwp - tailwords.shape[1])))
+
+    lanes = 128
+    while (lanes < 1024 and S % (lanes * 2) == 0
+           and (2 * nwp + 3 * nep + 64) * lanes * 2 * 4 < 2 ** 23):
+        lanes *= 2
+
+    x_t, res_t, tns_t, misc_t = pl.pallas_call(
+        partial(_parse_kernel, ne, nbytes, nwp, lanes, rate_flag, lpcw),
+        out_shape=(
+            jax.ShapeDtypeStruct((nep, S), I32),
+            jax.ShapeDtypeStruct((nep, S), I32),
+            jax.ShapeDtypeStruct((24, S), I32),
+            jax.ShapeDtypeStruct((8, S), I32),
+        ),
+        grid=(S // lanes,),
+        in_specs=[
+            pl.BlockSpec((nwp, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nwp, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((40, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nep, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nep, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((24, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nwp, lanes), I32),  # head funnel
+            pltpu.VMEM((nwp, lanes), I32),  # tail funnel
+            pltpu.VMEM((nep, lanes), I32),  # x scratch
+            pltpu.VMEM((ntp, lanes), I32),  # save_lev
+            pltpu.VMEM((24, lanes), I32),   # state rows
+        ],
+        interpret=interpret,
+    )(hw.T, tw.T, side_rows, jnp.asarray(pkb), jnp.asarray(cumb))
+    return x_t, res_t, tns_t, misc_t
+
+
+def device_parse_pallas(cfg: Lc3Config, nbytes: int, payloads: jax.Array,
+                        interpret: bool = False) -> ParsedFrames:
+    """Gather-free device parse: uint8 [S, nbytes] -> ParsedFrames.
+
+    S must be a multiple of 128 (the serving batch shape)."""
+    from .device import mpvq_deenum, read_side_info
+
+    S = payloads.shape[0]
+    assert S % 128 == 0, "pad the stream axis to a multiple of 128"
+    ne = cfg.ne
+
+    r = _WordTailReader(payloads)
+    side, bad = read_side_info(r, cfg, S)
+    lastnz = side["lastnz"]
+    lsb_mode = side["lsb_mode"]
+    shape_j = side["shape_j"]
+
+    buf = payloads.astype(I32)
+    headwords = _pack_words(buf)
+    tailwords = _pack_words(buf[:, ::-1])
+    # pre-shift the tail funnel to the side-info cursor (word granularity)
+    wsh = r.cursor >> 5
+    for b_ in range(2):  # side info is <= 84 bits -> shift 0..2 words
+        bit = ((wsh >> b_) & 1) > 0
+        step = 1 << b_
+        shifted = jnp.concatenate(
+            [tailwords[:, step:], jnp.zeros((S, step), I32)], axis=1
+        )
+        tailwords = jnp.where(bit[:, None], shifted, tailwords)
+    toff0 = r.cursor & 31
+
+    side_rows = jnp.stack(
+        [
+            lastnz,
+            lsb_mode.astype(I32),
+            side["rc_flag0"],
+            side["rc_flag1"],
+            side["num_tns"],
+            toff0,
+            r.cursor,
+            bad.astype(I32),
+        ]
+    )
+
+    x_t, res_t, tns_t, misc_t = _run_kernel(
+        cfg, nbytes, headwords, tailwords, side_rows, interpret=interpret
+    )
+    x = x_t[:ne].T
+    residual_bits = res_t[:ne].T > 0
+    rc_i = tns_t[0:16].T
+    rc_order = tns_t[16:18].T
+    err = misc_t[0] > 0
+    neg_budget = misc_t[1] > 0
+    n_residual = misc_t[2]
+    bad = bad | err | neg_budget
+
+    pos = jnp.arange(ne)[None, :]
+    x = jnp.where(pos < lastnz[:, None], x, 0)
+    seed = (jnp.sum(jnp.abs(x) * pos, axis=1) & 0xFFFF).astype(I32)
+    zero_frame = (
+        (lastnz == 2) & (x[:, 0] == 0) & (x[:, 1] == 0) & (side["gg_ind"] == 0)
+    )
+
+    yA10 = mpvq_deenum(S, 10, 10, side["ls_inda"], side["idx_a"],
+                       (shape_j == 0) | (shape_j == 1))
+    yB6 = mpvq_deenum(S, 6, 1, side["ls_indb"], side["idx_b"], shape_j == 0)
+    y2_ = mpvq_deenum(S, 16, 8, side["ls_inda"], side["idx_a"], shape_j == 2)
+    y3_ = mpvq_deenum(S, 16, 6, side["ls_inda"], side["idx_a"], shape_j == 3)
+    lane = jnp.arange(16)[None, :]
+    y01 = jnp.where(lane < 10, yA10,
+                    jnp.where(shape_j[:, None] == 0, jnp.roll(yB6, 10, axis=1), 0))
+    sns_y = jnp.where(shape_j[:, None] <= 1, y01,
+                      jnp.where(shape_j[:, None] == 2, y2_, y3_))
+
+    return ParsedFrames(
+        x_int=jnp.where(bad[:, None], 0, x),
+        lsb_mode=lsb_mode,
+        gg_ind=side["gg_ind"],
+        rc_order=rc_order,
+        rc_i=rc_i,
+        bandwidth=side["p_bw"],
+        noise_factor=side["noise_factor"],
+        nf_seed=jnp.where(bad, 0, seed),
+        zero_frame=zero_frame,
+        residual_bits=residual_bits,
+        n_residual=n_residual,
+        sns_y=sns_y,
+        sns_shape=shape_j,
+        sns_gind=side["g_ind"],
+        sns_ind_lf=side["ind_lf"],
+        sns_ind_hf=side["ind_hf"],
+        ltpf_active=side["ltpf_active"] & ~bad,
+        pitch_index=jnp.where(bad, 0, side["pitch_index"]),
+        bad_frame=bad,
+    )
