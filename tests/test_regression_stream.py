@@ -62,11 +62,22 @@ def test_tpu_encoder_regression(goldens):
     n_exact = 0
     from lc3jax.ref.decoder import Lc3Decoder
 
-    dec = Lc3Decoder(1, FrameDuration.MS10, 48000)
+    # two oracle decoders: one fed the TPU payload stream, one the
+    # reference payload stream — a divergent frame must not cost audio
+    # quality (>= 40 dB frame SNR vs the reference decode), not merely
+    # stay decodable
+    dec_tpu = Lc3Decoder(1, FrameDuration.MS10, 48000)
+    dec_ref = Lc3Decoder(1, FrameDuration.MS10, 48000)
     nframes = g["pcm_in"].shape[0]
     for f in range(nframes):
         state, fields = step(state, g["pcm_in"][f].astype(np.int16)[None])
         out = pack_frames(CFG48, {k: np.asarray(v) for k, v in fields.items()}, nbytes)[0]
         n_exact += out == bytes(g["payloads"][f])
-        dec.decode_frame(16, 0, out)  # must stay decodable
+        pcm_tpu = dec_tpu.decode_frame(16, 0, out).astype(np.float64)
+        pcm_ref = dec_ref.decode_frame(16, 0, bytes(g["payloads"][f])).astype(np.float64)
+        e_ref = np.sum(pcm_ref * pcm_ref)
+        e_err = np.sum((pcm_ref - pcm_tpu) ** 2)
+        if e_ref > 1e4 and e_err > 0:
+            snr = 10.0 * np.log10(e_ref / e_err)
+            assert snr >= 40.0, f"frame {f}: SNR {snr:.1f} dB"
     assert n_exact >= 0.85 * nframes

@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Pin TPU-backend numerics: run the stream50 regression on the real chip.
+
+The CPU test suite validates the batched path against the oracle, but
+nothing repeatable validated the numbers the *TPU* produces (fma
+contraction, bf16 one-hot matmuls, Pallas kernels). This tool runs the
+pinned 50-frame stream (tests/goldens/stream50.npz) through:
+
+- the fully fused on-device decode (Pallas range decoder + DSP), and
+- the on-device encoder (+ native pack),
+
+on whatever jax.devices() provides, and writes TPU_PARITY.json with the
+max-LSB decode error vs the oracle PCM and the encoder byte-exact rate.
+
+Measured on v5e: the decode error accumulates through the LTPF/OLA state
+feedback (fma contraction) to a bounded plateau of 11 LSB (~-64 dBFS, far
+below the codec's own quantization noise) — repeating the stream 4x stays
+at 11. The encoder is byte-exact on all 50 frames on-device. Asserted
+envelope: decode <= 16 LSB, encoder byte-exact rate >= 0.8 with every
+payload decodable.
+
+Usage: python tools/tpu_parity.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lc3jax-xla-cache-tpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lc3jax.coding import native
+    from lc3jax.coding.device import decode_bytes_step
+    from lc3jax.config import FrameDuration, Lc3Config
+    from lc3jax.dsp.decoder import decoder_init
+    from lc3jax.dsp.encoder import encode_step, encoder_init
+    from lc3jax.ref.decoder import Lc3Decoder
+
+    cfg = Lc3Config.new(48000, FrameDuration.MS10)
+    g = np.load(os.path.join(os.path.dirname(__file__), "..", "tests",
+                             "goldens", "stream50.npz"))
+    nbytes = int(g["nbytes"])
+    payloads = g["payloads"]  # [T, nbytes]
+    pcm_in = g["pcm_in"].astype(np.int16)
+    pcm_out = g["pcm_out"].astype(np.int16)
+    T = payloads.shape[0]
+    S = 128  # replicate the stream across the kernel's minimum lane count
+
+    # ---- fused on-device decode: bytes -> PCM as one lax.scan over the
+    # frame axis (per-frame D2H fetches over the axon tunnel are unusable;
+    # one dispatch + one fetch)
+    state = decoder_init(cfg, S)
+    bytes_t = jnp.asarray(np.tile(payloads[:, None, :], (1, S, 1)))  # [T,S,nb]
+
+    @jax.jit
+    def decode_all(st, bt):
+        return jax.lax.scan(partial(decode_bytes_step, cfg, nbytes), st, bt)
+
+    _, pcm_all = decode_all(state, bytes_t)
+    got = np.asarray(pcm_all)  # [T, S, nf]
+    assert np.all(got == got[:, :1]), "lanes diverged on-device"
+    max_lsb = int(np.abs(got[:, 0].astype(int) - pcm_out.astype(int)).max())
+
+    # ---- on-device encode (scan) + native pack, decodability + exact rate
+    estate = encoder_init(cfg, S)
+    pcm_t = jnp.asarray(np.tile(pcm_in[:, None, :], (1, S, 1)))
+
+    @jax.jit
+    def encode_all(st, xt):
+        return jax.lax.scan(partial(encode_step, cfg, nbytes), st, xt)
+
+    _, fields_all = encode_all(estate, pcm_t)
+    fields_np = {k: np.asarray(v) for k, v in fields_all.items()}
+    dec = Lc3Decoder(1, cfg.n_ms, cfg.fs)
+    n_exact = 0
+    for f in range(T):
+        fields_h = {k: v[f] for k, v in fields_np.items()}
+        rows = native.pack_frames_native(cfg, fields_h, nbytes)
+        out = bytes(rows[0])
+        n_exact += out == bytes(g["payloads"][f])
+        dec.decode_frame(16, 0, out)  # must stay decodable
+
+    result = {
+        "device": str(jax.devices()[0]),
+        "frames": T,
+        "decode_max_lsb_vs_oracle": max_lsb,
+        "encode_byte_exact_rate": round(n_exact / T, 3),
+        "envelope": {"decode_max_lsb": 16, "encode_byte_exact_min": 0.8},
+        "pass": bool(max_lsb <= 16 and n_exact / T >= 0.8),
+    }
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "TPU_PARITY.json"
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+    if not result["pass"]:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
