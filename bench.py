@@ -117,6 +117,15 @@ def main() -> None:
     fused_ms = device_step_ms(fstep, fstate, (bytes_dev,), steps=10)
     fused_rtf = n_streams * frame_seconds / (fused_ms / 1e3)
 
+    # fully fused on-device encode: PCM -> frame bytes (analysis DSP +
+    # Pallas range encoder)
+    from lc3jax.coding.pallas_pack import encode_bytes_step
+
+    e2state = encoder_init(cfg, n_streams)
+    e2step = jax.jit(partial(encode_bytes_step, cfg, nbytes))
+    fenc_ms = device_step_ms(e2step, e2state, (pcm_dev,), steps=8)
+    fenc_rtf = n_streams * frame_seconds / (fenc_ms / 1e3)
+
     # host-pipelined alternative (parse on host cores, DSP on device,
     # overlapped): bounded by the slower side
     pipelined_rtf = min(host_rtf, dec_rtf)
@@ -132,6 +141,8 @@ def main() -> None:
             "n_streams": n_streams,
             "fused_bytes_to_pcm_x_realtime": round(fused_rtf, 0),
             "fused_step_ms": round(fused_ms, 3),
+            "fused_pcm_to_bytes_x_realtime": round(fenc_rtf, 0),
+            "fused_encode_step_ms": round(fenc_ms, 3),
             "decode_dsp_x_realtime": round(dec_rtf, 0),
             "encode_dsp_x_realtime": round(enc_rtf, 0),
             "host_parse_x_realtime": round(host_rtf, 0),

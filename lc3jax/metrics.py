@@ -36,6 +36,14 @@ class CodecMetrics:
 
     @property
     def realtime_factor(self) -> float:
+        """Host wall-clock throughput of the serving loop.
+
+        Valid on production hosts where dispatch latency reflects work.
+        NOT a device-time measurement: on hosts with fully asynchronous
+        dispatch and unfenced block_until_ready (the axon tunnel used for
+        development), wall-clock under-reports device work — use
+        lc3jax.profiling.device_step_ms / tools/tpu_profile.py for
+        device-clock ground truth (see CLAUDE.md)."""
         w = self.wall_seconds
         return self.audio_seconds / w if w > 0 else 0.0
 

@@ -90,13 +90,34 @@ def main() -> None:
         n_exact += out == bytes(g["payloads"][f])
         dec.decode_frame(16, 0, out)  # must stay decodable
 
+    # ---- fully fused on-device encode (Pallas range encoder): frame bytes
+    # must be byte-identical to the native pack of the same fields
+    from lc3jax.coding.pallas_pack import encode_bytes_step
+
+    e2state = encoder_init(cfg, S)
+
+    @jax.jit
+    def encode_bytes_all(st, xt):
+        return jax.lax.scan(partial(encode_bytes_step, cfg, nbytes), st, xt)
+
+    _, payloads_dev = encode_bytes_all(e2state, pcm_t)
+    pdev = np.asarray(payloads_dev)  # [T, S, nbytes]
+    n_pack_exact = 0
+    for f in range(T):
+        fields_h = {k: v[f] for k, v in fields_np.items()}
+        want = bytes(native.pack_frames_native(cfg, fields_h, nbytes)[0])
+        n_pack_exact += bytes(pdev[f, 0]) == want
+
     result = {
         "device": str(jax.devices()[0]),
         "frames": T,
         "decode_max_lsb_vs_oracle": max_lsb,
         "encode_byte_exact_rate": round(n_exact / T, 3),
-        "envelope": {"decode_max_lsb": 16, "encode_byte_exact_min": 0.8},
-        "pass": bool(max_lsb <= 16 and n_exact / T >= 0.8),
+        "device_pack_byte_exact_rate": round(n_pack_exact / T, 3),
+        "envelope": {"decode_max_lsb": 16, "encode_byte_exact_min": 0.8,
+                     "device_pack_byte_exact": 1.0},
+        "pass": bool(max_lsb <= 16 and n_exact / T >= 0.8
+                     and n_pack_exact == T),
     }
     out_path = sys.argv[1] if len(sys.argv) > 1 else "TPU_PARITY.json"
     with open(out_path, "w") as fh:
