@@ -115,15 +115,17 @@ class _WordTailReader:
 def _build_tables(rate_flag: int):
     lut = np.asarray(T.AC_SPEC_LOOKUP, np.int64)
     cum = np.asarray(T.AC_SPEC_CUMFREQ, np.int64)  # [64, 17], diff == freq
-    # pkb[hi*4 + L, c] = model index for (hi, level L) at context c; values
-    # <= 63 so the bf16 one-hot matmul fetch is exact
+    # pk4[hi*256 + c] = the four per-level model indices packed 8 bits
+    # each (one int32 column: the VPU masked-sum fetch beats a per-tuple
+    # MXU matmul, which at N=512 lanes costs ~1024 MXU cycles per tuple)
     idx = (
-        np.arange(256)[None, :]
+        np.arange(512)[:, None] % 256
         + rate_flag
-        + (np.arange(8)[:, None] // 4) * 256
-        + (np.arange(8)[:, None] % 4) * 1024
+        + (np.arange(512)[:, None] // 256) * 256
+        + np.arange(4)[None, :] * 1024
     )
-    pkb = lut[idx].astype(np.float32)  # [8, 256]
+    pk4 = (lut[idx] << (8 * np.arange(4))[None, :]).sum(axis=1)
+    pkb = pk4.astype(np.int32).reshape(512, 1)
     # cum rows byte-split for the MXU one-hot fetch: rows 0..16 the high
     # two bits, rows 17..33 the low byte (values <= 1023), transposed so a
     # [34,64]@[64,L] matmul returns the whole row per lane
@@ -283,17 +285,17 @@ def _parse_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
     def spec_tuple(p):
         n = 2 * p
         in_range = (n < lastnz) & ~bad0
-        hi = n > ne // 2
+        hi_off = jnp.where(n > ne // 2, 256, 0)
 
-        # per-level model indices for this tuple's context: one-hot matmul
-        # against the [8, 256] f32 table on the MXU (values <= 63, exact)
-        ohc = (iota256 == st[CTX, :][None, :]).astype(jnp.bfloat16)
-        pkrows = jax.lax.dot_general(
-            pkb_ref[...].astype(jnp.bfloat16), ohc,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )  # [8, L]: rows hi*4 + L
-        pk4 = jnp.where(hi, pkrows[4:8, :], pkrows[0:4, :]).astype(I32)
-        st[PKI4 : PKI4 + 4, :] = pk4
+        # packed per-level model indices for this tuple's context: one-hot
+        # masked sum against the packed int32 column (VPU only)
+        ohc = iota256 == st[CTX, :][None, :]
+        col = pkb_ref[pl.ds(hi_off, 256), :]  # [256, 1]
+        pk4p = jnp.sum(jnp.where(ohc, col, 0), axis=0)
+        st[PKI4, :] = pk4p & 255
+        st[PKI4 + 1, :] = (pk4p >> 8) & 255
+        st[PKI4 + 2, :] = (pk4p >> 16) & 255
+        st[PKI4 + 3, :] = (pk4p >> 24) & 255
         st[GOING, :] = jnp.where(in_range, 1, 0)
         st[LEV, :] = jnp.zeros((lanes,), I32)
         st[XK, :] = jnp.zeros((lanes,), I32)
@@ -504,7 +506,7 @@ def _run_kernel(cfg: Lc3Config, nbytes: int, headwords, tailwords, side_rows,
             pl.BlockSpec((nwp, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((nwp, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((512, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((40, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(

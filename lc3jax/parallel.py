@@ -119,6 +119,26 @@ def make_sharded_decode_bytes_step(cfg: Lc3Config, nbytes: int, mesh: Mesh):
     )
 
 
+def make_sharded_encode_bytes_step(cfg: Lc3Config, nbytes: int, mesh: Mesh):
+    """Sharded fully fused encode: PCM [S, nf] -> frame bytes [S, nbytes].
+
+    TPU meshes only: the pack stage is the Pallas range-encoder kernel
+    (coding/pallas_pack.py), which has no CPU formulation — host-pipelined
+    packing (make_sharded_encode_step + pack on host) covers CPU meshes."""
+    from .coding.pallas_pack import encode_bytes_step
+
+    def step(state: EncoderState, pcm):
+        return encode_bytes_step(cfg, nbytes, state, pcm)
+
+    s0 = _sharding(mesh, 0)
+    return jax.jit(
+        step,
+        in_shardings=(s0, s0),
+        out_shardings=(s0, s0),
+        donate_argnums=(0,),
+    )
+
+
 def sharded_decoder_init(cfg: Lc3Config, n_streams: int, mesh: Mesh) -> DecoderState:
     return shard_streams(mesh, decoder_init(cfg, n_streams))
 

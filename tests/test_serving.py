@@ -73,3 +73,20 @@ def test_pipelined_decode_stream_propagates_producer_error():
 
     with pytest.raises(RuntimeError, match="upstream source failed"):
         dec.decode_stream(batches(), pipeline=True)
+
+
+def test_device_parse_mode_matches_host_parse_mode():
+    """BatchDecoder(device_parse=True) = fused bytes->PCM (the XLA parser
+    formulation on CPU; the Pallas kernel on TPU): same PCM as the
+    host-parse mode within the usual rounding envelope."""
+    S, nbytes, nframes = 128, 80, 3
+    sig = _signal(nframes, 330)
+    enc = BatchEncoder(CFG48, S, nbytes)
+    a = BatchDecoder(CFG48, S, nbytes)
+    b = BatchDecoder(CFG48, S, nbytes, device_parse=True)
+    for f in range(nframes):
+        pcm_in = np.tile(sig[f * 480 : (f + 1) * 480], (S, 1))
+        payloads = enc.encode(pcm_in)
+        pa = a.decode(payloads)
+        pb = b.decode(payloads)
+        assert np.abs(pa.astype(int) - pb.astype(int)).max() <= 1
