@@ -67,6 +67,20 @@ def main() -> None:
                 f"| {cfg.fs} | {cfg.n_ms.value} | {nbytes} | {dec:,.0f} | {enc:,.0f} |"
             )
             print(lines[-1], flush=True)
+    lines += [
+        "",
+        "## Stream-count scaling (48 kHz / 10 ms / 150 B, round 2)",
+        "",
+        "Round-2 fused paths measured separately (bench.py / device traces):",
+        "fused bytes->PCM (Pallas range decoder + DSP) 1.92 ms = 10,676x at",
+        "S=2048; fused PCM->bytes (DSP + Pallas range encoder) ~4.4 ms =",
+        "~4,700x. S=2048 is the throughput-optimal batch: at S=8192 the LTPF",
+        "scan path spills VMEM (decode DSP 5.13 ms = 15,969x; fused 9.60 ms",
+        "= 8,529x) — run multiple S=2048 batches back to back instead. The",
+        "opt-in Pallas LTPF kernel removes the spill but compiles slowly and",
+        "breaks xprof, so the supported fast envelope is S <= 4096 on the",
+        "default path.",
+    ]
     with open("BENCH_SWEEP.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote BENCH_SWEEP.md")
