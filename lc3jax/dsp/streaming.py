@@ -38,9 +38,40 @@ def encode_frames(cfg: Lc3Config, nbytes: int, state: EncoderState, pcm):
     return jax.lax.scan(step, state, pcm)
 
 
+def decode_bytes_frames(cfg: Lc3Config, nbytes: int, state: DecoderState,
+                        payloads):
+    """Fully fused bulk decode: raw frame bytes [T, S, nbytes] -> PCM
+    [T, S, nf] in one dispatch (Pallas range decoder on TPU backends)."""
+    from ..coding.device import decode_bytes_step
+
+    def step(st, b):
+        return decode_bytes_step(cfg, nbytes, st, b)
+
+    return jax.lax.scan(step, state, payloads)
+
+
+def encode_bytes_frames(cfg: Lc3Config, nbytes: int, state: EncoderState, pcm):
+    """Fully fused bulk encode: PCM [T, S, nf] -> frame bytes
+    [T, S, nbytes] in one dispatch (Pallas range encoder; TPU only)."""
+    from ..coding.pallas_pack import encode_bytes_step
+
+    def step(st, x):
+        return encode_bytes_step(cfg, nbytes, st, x)
+
+    return jax.lax.scan(step, state, pcm)
+
+
 def make_decode_frames(cfg: Lc3Config, nbits: int):
     return jax.jit(partial(decode_frames, cfg, nbits), donate_argnums=(0,))
 
 
 def make_encode_frames(cfg: Lc3Config, nbytes: int):
     return jax.jit(partial(encode_frames, cfg, nbytes), donate_argnums=(0,))
+
+
+def make_decode_bytes_frames(cfg: Lc3Config, nbytes: int):
+    return jax.jit(partial(decode_bytes_frames, cfg, nbytes), donate_argnums=(0,))
+
+
+def make_encode_bytes_frames(cfg: Lc3Config, nbytes: int):
+    return jax.jit(partial(encode_bytes_frames, cfg, nbytes), donate_argnums=(0,))

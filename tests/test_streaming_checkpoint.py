@@ -121,3 +121,31 @@ def test_metrics():
     assert snap["plc_frames"] == 2
     assert abs(snap["audio_seconds"] - 1.5) < 1e-9
     assert m.plc_rate == 0.02
+
+
+def test_decode_bytes_frames_scan_matches_stepwise():
+    """The fused bytes->PCM frame scan (XLA parser on CPU; Pallas kernel on
+    TPU) must equal the per-frame fused step."""
+    from functools import partial as _partial
+
+    from lc3jax.coding.device import decode_bytes_step
+    from lc3jax.dsp.streaming import decode_bytes_frames
+
+    T, S, nbytes = 3, 2, 80
+    per_frame = _payload_batch(T, S, nbytes)
+    stacked = np.stack([
+        np.frombuffer(b"".join(p), np.uint8).reshape(S, nbytes)
+        for p in per_frame
+    ])
+
+    st_scan = decoder_init(CFG48, S)
+    scan_fn = jax.jit(_partial(decode_bytes_frames, CFG48, nbytes))
+    st_scan, pcm_scan = scan_fn(st_scan, stacked)
+
+    st_step = decoder_init(CFG48, S)
+    step = jax.jit(_partial(decode_bytes_step, CFG48, nbytes))
+    outs = []
+    for f in range(T):
+        st_step, pcm = step(st_step, stacked[f])
+        outs.append(np.asarray(pcm))
+    assert np.array_equal(np.asarray(pcm_scan), np.stack(outs))
