@@ -108,16 +108,38 @@ def main() -> None:
         want = bytes(native.pack_frames_native(cfg, fields_h, nbytes)[0])
         n_pack_exact += bytes(pdev[f, 0]) == want
 
+    # ---- on-device parser differential fuzz: random bytes + valid frames
+    # vs the native host parser (bad flags identical, clean fields identical)
+    import dataclasses
+
+    from lc3jax.coding.device import device_parse
+
+    rng = np.random.default_rng(99)
+    fuzz = rng.integers(0, 256, (2048, nbytes), dtype=np.uint8)
+    fuzz[: T] = payloads  # mix in the valid pinned frames
+    host_pf = native.parse_frames_native(cfg, fuzz)
+    dev_pf = jax.jit(partial(device_parse, cfg, nbytes))(jnp.asarray(fuzz))
+    badm = np.asarray(host_pf.bad_frame)
+    fuzz_ok = np.array_equal(badm, np.asarray(dev_pf.bad_frame))
+    for fld in dataclasses.fields(host_pf):
+        if fld.name == "bad_frame":
+            continue
+        a = np.asarray(getattr(host_pf, fld.name))
+        b = np.asarray(getattr(dev_pf, fld.name))
+        fuzz_ok = fuzz_ok and np.array_equal(a[~badm], b[~badm])
+
     result = {
         "device": str(jax.devices()[0]),
         "frames": T,
         "decode_max_lsb_vs_oracle": max_lsb,
         "encode_byte_exact_rate": round(n_exact / T, 3),
         "device_pack_byte_exact_rate": round(n_pack_exact / T, 3),
+        "device_parse_fuzz_2048": bool(fuzz_ok),
+        "device_parse_fuzz_bad_rate": round(float(badm.mean()), 3),
         "envelope": {"decode_max_lsb": 16, "encode_byte_exact_min": 0.8,
                      "device_pack_byte_exact": 1.0},
         "pass": bool(max_lsb <= 16 and n_exact / T >= 0.8
-                     and n_pack_exact == T),
+                     and n_pack_exact == T and fuzz_ok),
     }
     out_path = sys.argv[1] if len(sys.argv) > 1 else "TPU_PARITY.json"
     with open(out_path, "w") as fh:
