@@ -98,7 +98,20 @@ class BatchDecoder:
         the loop is fetch-bound at ~120x realtime here. On a real TPU host
         D2H runs at PCIe rates (the same fetch is ~1 ms) and throughput is
         parse-bound per core. fetch=False keeps PCM on device for
-        on-device consumers (the TPU-side production shape)."""
+        on-device consumers (the TPU-side production shape).
+
+        With device_parse=True there is no host stage to overlap: batches
+        feed the fused bytes->PCM program directly (pipeline is ignored)."""
+        if self.device_parse:
+            outs = []
+            for batch in payload_batches:
+                step = self._get_step(batch.shape[1])
+                self.state, pcm = step(self.state, jax.device_put(batch))
+                self.metrics.record_decode(self.n_streams, self._frame_seconds)
+                outs.append(np.asarray(pcm) if fetch else pcm)
+            if not fetch and outs:
+                jax.block_until_ready(outs[-1])
+            return outs
         if not pipeline:
             outs = []
             for batch in payload_batches:

@@ -90,3 +90,19 @@ def test_device_parse_mode_matches_host_parse_mode():
         pa = a.decode(payloads)
         pb = b.decode(payloads)
         assert np.abs(pa.astype(int) - pb.astype(int)).max() <= 1
+
+
+def test_device_parse_decode_stream():
+    S, nbytes, nframes = 128, 80, 4
+    sig = _signal(nframes, 550)
+    enc = BatchEncoder(CFG48, S, nbytes)
+    batches = []
+    for f in range(nframes):
+        batches.append(enc.encode(np.tile(sig[f * 480 : (f + 1) * 480], (S, 1))))
+    a = BatchDecoder(CFG48, S, nbytes)
+    b = BatchDecoder(CFG48, S, nbytes, device_parse=True)
+    outs_a = a.decode_stream(iter(batches))
+    outs_b = b.decode_stream(iter(batches), pipeline=True)  # ignored flag
+    for f in range(nframes):
+        assert np.abs(outs_a[f].astype(int) - outs_b[f].astype(int)).max() <= 1
+    assert b.metrics.frames_decoded == S * nframes
