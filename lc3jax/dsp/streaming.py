@@ -11,7 +11,6 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 
 from ..config import Lc3Config
 from .decoder import DecoderState, ParsedFrames, decode_step
