@@ -19,7 +19,14 @@ at 11. The encoder is byte-exact on all 50 frames on-device. Asserted
 envelope: decode <= 16 LSB, encoder byte-exact rate >= 0.8 with every
 payload decodable.
 
-Usage: python tools/tpu_parity.py [out.json]
+Usage: python tools/tpu_parity.py [out.json] [--full]
+
+--full additionally smoke-checks the parse and pack kernels across the
+geometry/rate envelope (16 k/10 ms/60 B, 44.1 k/7.5 ms/100 B,
+8 k/10 ms/40 B, 48 k at the 20 B minimum and 400 B maximum — the last
+drives lsb_mode on every frame): clean-frame field parity and byte-exact
+payloads vs the host implementations. Each config compiles two extra
+programs (~minutes cold).
 """
 
 from __future__ import annotations
@@ -141,7 +148,61 @@ def main() -> None:
         "pass": bool(max_lsb <= 16 and n_exact / T >= 0.8
                      and n_pack_exact == T and fuzz_ok),
     }
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "TPU_PARITY.json"
+    if "--full" in sys.argv:
+        from lc3jax.coding.host import pack_frames as _pack_host
+        from lc3jax.coding.pallas_pack import device_pack
+        from lc3jax.coding.pallas_parse import device_parse_pallas
+        from lc3jax.ref.encoder import Lc3Encoder
+
+        configs = [
+            (16000, FrameDuration.MS10, 60),
+            (44100, FrameDuration.MS7P5, 100),
+            (8000, FrameDuration.MS10, 40),
+            (48000, FrameDuration.MS10, 20),
+            (48000, FrameDuration.MS10, 400),
+        ]
+        result["full"] = {}
+        for fs_, dur_, nb_ in configs:
+            c = Lc3Config.new(fs_, dur_)
+            Sf = 256
+            enc2 = Lc3Encoder(1, c.n_ms, c.fs)
+            rng2 = np.random.default_rng(5)
+            tt = np.arange(c.nf) / c.fs
+            rows = [
+                np.frombuffer(bytes(enc2.encode_frame(0, np.clip(
+                    20000 * rng2.standard_normal(c.nf) if i % 2
+                    else 8000 * np.sin(2 * np.pi * (90 + 29 * i) * tt),
+                    -32768, 32767).astype(np.int16), nb_)), np.uint8)
+                for i in range(63)
+            ]
+            rows += [rng2.integers(0, 256, nb_, dtype=np.uint8)]
+            batch = np.stack(rows * 4)
+            hostf = native.parse_frames_native(c, batch)
+            devf = jax.jit(partial(device_parse_pallas, c, nb_))(
+                jnp.asarray(batch)
+            )
+            bm = np.asarray(hostf.bad_frame)
+            pok = np.array_equal(bm, np.asarray(devf.bad_frame)) and all(
+                np.array_equal(np.asarray(getattr(hostf, f2.name))[~bm],
+                               np.asarray(getattr(devf, f2.name))[~bm])
+                for f2 in dataclasses.fields(hostf)
+                if f2.name != "bad_frame"
+            )
+            est2 = encoder_init(c, Sf)
+            pcm2 = jnp.asarray(np.stack(
+                [np.clip(22000 * rng2.standard_normal(c.nf), -32768, 32767)
+                 .astype(np.int16)] * Sf))
+            _, flds = jax.jit(partial(encode_step, c, nb_))(est2, pcm2)
+            want2 = _pack_host(c, {k: np.asarray(v) for k, v in flds.items()},
+                               nb_)
+            got2 = np.asarray(jax.jit(partial(device_pack, c, nb_))(flds))
+            kok = all(bytes(got2[s2]) == want2[s2] for s2 in range(Sf))
+            key = f"{fs_}_{dur_.value}_{nb_}B"
+            result["full"][key] = {"parse": bool(pok), "pack": bool(kok)}
+            result["pass"] = bool(result["pass"] and pok and kok)
+
+    out_path = next((a for a in sys.argv[1:] if not a.startswith("--")),
+                    "TPU_PARITY.json")
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
