@@ -499,5 +499,18 @@ def decode_bytes_step(cfg: Lc3Config, nbytes: int, state, payloads: jax.Array):
     return decode_step(cfg, nbytes * 8, state, frames)
 
 
+def decode_bytes_step_stats(cfg: Lc3Config, nbytes: int, state,
+                            payloads: jax.Array):
+    """decode_bytes_step that also returns the batch's concealed-frame count
+    (device scalar), so fused-path serving can report plc_rate — the host
+    paths count bad frames during parsing, and monitoring that alerts on
+    plc_rate must not go blind when switching to device_parse."""
+    from ..dsp.decoder import decode_step
+
+    frames = device_parse(cfg, nbytes, payloads)
+    state, pcm = decode_step(cfg, nbytes * 8, state, frames)
+    return state, pcm, jnp.sum(frames.bad_frame.astype(I32))
+
+
 def make_decode_bytes_step(cfg: Lc3Config, nbytes: int):
     return jax.jit(partial(decode_bytes_step, cfg, nbytes), donate_argnums=(0,))

@@ -4,25 +4,39 @@ Round 1 left one asymmetry in the coding layer: decode had an on-device
 bytes->PCM path but the encoder's pack stage (side-info bit writer +
 forward range coder with carry/cache propagation, reference
 encoder/bitstream_encoding.rs + buffer_writer.rs) ran only on host C++,
-leaving encode end-to-end host-bound (~2,700x/core). This kernel packs a
-whole [S]-stream batch of encoder fields into LC3 frames on device,
-completing the fully fused PCM->bytes program (encode_bytes_step).
+leaving encode end-to-end host-bound. The round-2 kernel closed that but
+fetched every arithmetic-coder operand with per-tuple one-hot matmuls and
+drained carries through data-dependent while loops — ~1.4 ms/step at
+S=2048, 2.6x the cost of the matching range *decoder* kernel.
 
-Design (the parser's gather-free discipline, but simpler — the writers
-need no funnels because every write lands at a per-lane *absolute*
-position): the head (forward bytes) and reversed-tail (backward bits)
-buffers live in VMEM as little-endian word rows; a write is a one-hot
-masked OR over word rows. The arithmetic coder's symbol costs come from
-the same one-hot MXU table fetches as the parser (per-level model rows
-pre-composed with the escape cum/freq, the final-symbol row via a 64-wide
-one-hot against the byte-split cumfreq table); carry runs drain through a
-bounded while loop. LSB-mode refinement bits are generated by replaying
-the tuple ladder arithmetic after the budget is known (pure elementwise),
-avoiding a queue scatter.
+This round-3 kernel strips the serial core down to pure range-coder
+sequencing:
+
+- **No table lookups.** Every (cum, freq) the coder consumes is
+  precomputed by the encoder's second bit-model pass (the contexts are
+  closed-form in the tuple values — see dsp.encoder.bit_consumption), whose
+  pallas kernel emits them off one-hot matmuls it already builds
+  (dsp/pallas_bitmodel.py, fields["quant_pack_tables"]). The kernel reads
+  [row, lanes] slices from VMEM.
+- **Optimistic carry resolution.** The reference's cache/carry_count
+  machinery (bitstream_encoding.rs:397-415) delays byte emission so a
+  carry can rewrite a pending 0xFF run. A slot that pends always holds
+  0xFF (pend requires low >= 0xFF0000), so this kernel writes low>>16 at
+  every shift unconditionally, marks carried flush groups in two word-bit
+  masks, and applies the (+1 at the cache byte, truncated exactly like the
+  reference's `(cache + carry) & 0xff`; zeros over the pending run) as
+  disjoint group fix-ups in one pass at the end. At most one carry per
+  flush group, and groups never overlap, so no ripple across groups can
+  occur. The data-dependent drain loops disappear.
+- **Scalar-bounded escape ladder.** The per-tuple escape count g is
+  elementwise in |x_q| (g halvings until max(a,b) < 4); its per-tuple
+  batch maximum is computed in XLA and fed through SMEM, so the ladder is
+  a scalar-trip fori_loop with no cross-lane `jnp.any` reductions.
 
 Byte-exact vs ref/bitstream_enc.py (itself byte-exact vs the reference)
-and the C++ packer — asserted in tests/test_pallas_pack.py and on-device
-in tools/tpu_parity.py.
+and the C++ packer — asserted in tests/test_pallas_pack.py (interpret
+mode on CPU, incl. crafted carry-run/need-extra/lsb batches) and on
+hardware across the geometry envelope in tools/tpu_parity.py --full.
 """
 
 from __future__ import annotations
@@ -41,40 +55,14 @@ from ..config import FrameDuration, Lc3Config
 I32 = jnp.int32
 
 # state rows
-LOW, RNG, CACHE, CARRY, CCNT, BP, TCUR, CTX = 0, 1, 2, 3, 4, 5, 6, 7
-AA, BB, LEV, GOING, CNT, BUD = 8, 9, 10, 11, 12, 13
+LOW, RNG, BP, CARRY, RSTART, HASC, HL0, TCUR, CNT, BUD = range(10)
 
 
-def _pack_tables(rate_flag: int):
-    lut = np.asarray(T.AC_SPEC_LOOKUP, np.int64)
-    cum = np.asarray(T.AC_SPEC_CUMFREQ, np.int64)
-    frq = np.asarray(T.AC_SPEC_FREQ, np.int64)
-    idx = (
-        np.arange(256)[None, :]
-        + rate_flag
-        + (np.arange(8)[:, None] // 4) * 256
-        + (np.arange(8)[:, None] % 4) * 1024
-    )
-    pki = lut[idx]  # [8, 256] rows hi*4 + L
-    # [40, 256]: pki, escape cum hi/lo, escape freq hi/lo (all bf16-exact)
-    pkb = np.zeros((40, 256), np.float32)
-    pkb[0:8] = pki
-    pkb[8:16] = cum[:, 16][pki] >> 8
-    pkb[16:24] = cum[:, 16][pki] & 255
-    pkb[24:32] = frq[:, 16][pki] >> 8
-    pkb[32:40] = frq[:, 16][pki] & 255
-    # final-symbol rows, byte-split transposed for the 64-one-hot matmul
-    cumb = np.zeros((40, 64), np.float32)
-    cumb[0:17] = (cum >> 8).T
-    cumb[17:34] = (cum & 255).T
-    return pkb, cumb
-
-
-def _pack_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
+def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
                  lpcw: int, nbits_bw: int,
-                 xq_ref, res_ref, side_ref, pkb_ref, cumb_ref,
+                 gmax_ref, xq_ref, res_ref, side_ref, pk_ref,
                  head_ref, tail_ref,
-                 st):
+                 st, ms, me):
     NT = ne // 2
     nbits = nbytes * 8
     oc = [int(v) for v in np.asarray(T.AC_TNS_ORDER_CUMFREQ)[lpcw]]
@@ -83,10 +71,8 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
     cf = [[int(v) for v in row] for row in np.asarray(T.AC_TNS_COEF_FREQ)]
     gmsb = [int(v) for v in np.asarray(T.SNS_GAIN_MSB_BITS)]
     glsb = [int(v) for v in np.asarray(T.SNS_GAIN_LSB_BITS)]
-    iota256 = jax.lax.broadcasted_iota(I32, (256, lanes), 0)
-    iota64 = jax.lax.broadcasted_iota(I32, (64, lanes), 0)
-    iota16v = jax.lax.broadcasted_iota(I32, (16, lanes), 0)
     iotaw = jax.lax.broadcasted_iota(I32, (nwp, lanes), 0)
+    iota16w = jax.lax.broadcasted_iota(I32, (16, lanes), 0)
 
     lastnz_trunc = side_ref[0, :]
     lsb_mode = side_ref[1, :] > 0
@@ -109,20 +95,27 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
 
     head_ref[...] = jnp.zeros((nwp, lanes), I32)
     tail_ref[...] = jnp.zeros((nwp, lanes), I32)
-    st[...] = jnp.zeros((24, lanes), I32)
-    st[CACHE, :] = jnp.full((lanes,), -1, I32)
+    st[...] = jnp.zeros((16, lanes), I32)
+    ms[...] = jnp.zeros((16, lanes), I32)
+    me[...] = jnp.zeros((16, lanes), I32)
     st[RNG, :] = jnp.full((lanes,), 0x00FFFFFF, I32)
 
     # ---- writers ----------------------------------------------------------
-    def write_byte_fwd(byte, do):
-        bp = st[BP, :]
-        wi = bp >> 2
+    def write_byte_at(byte, pos, do):
+        wi = pos >> 2
         upd = jnp.where(
             (iotaw == wi[None, :]) & do[None, :],
-            (byte & 255)[None, :] << (((bp & 3) * 8)[None, :]), 0,
+            (byte & 255)[None, :] << (((pos & 3) * 8)[None, :]), 0,
         )
         head_ref[...] = head_ref[...] | upd
-        st[BP, :] = bp + jnp.where(do, 1, 0)
+
+    def mark(mref, pos, do):
+        wi = pos >> 5
+        upd = jnp.where(
+            (iota16w == wi[None, :]) & do[None, :],
+            jnp.ones((lanes,), I32)[None, :] << ((pos & 31)[None, :]), 0,
+        )
+        mref[...] = mref[...] | upd
 
     def write_bit_back(bit, do):
         tc = st[TCUR, :]
@@ -194,26 +187,26 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
                         pitch_present)
     write_uint_back(noise_factor, 3, on)
 
-    # ---- arithmetic coder -------------------------------------------------
+    # ---- arithmetic coder (optimistic emission) ---------------------------
     def ac_shift(do):
+        """Reference ac_shift (bitstream_encoding.rs:397-415) with the
+        cache/drain machinery replaced by an unconditional slot write at BP
+        plus carried-group marks for the end-of-frame fix-up pass."""
         low = st[LOW, :]
         carry = st[CARRY, :]
-        cond = do & ((low < 0x00FF0000) | (carry == 1))
-        write_byte_fwd((st[CACHE, :] + carry) & 255, cond & (st[CACHE, :] >= 0))
-
-        def drain_cond(_):
-            return jnp.any(cond & (st[CCNT, :] > 0))
-
-        def drain_body(_):
-            m = cond & (st[CCNT, :] > 0)
-            write_byte_fwd((carry + 0xFF) & 255, m)
-            st[CCNT, :] = st[CCNT, :] - jnp.where(m, 1, 0)
-            return 0
-
-        jax.lax.while_loop(drain_cond, drain_body, 0)
-        st[CACHE, :] = jnp.where(cond, low >> 16, st[CACHE, :])
-        st[CARRY, :] = jnp.where(cond, 0, carry)
-        st[CCNT, :] = st[CCNT, :] + jnp.where(do & ~cond, 1, 0)
+        flush = do & ((low < 0x00FF0000) | (carry == 1))
+        markc = flush & (carry == 1)
+        # +1 lands at the group's cache byte unless the group is headless
+        # (pendings accumulated before any cache existed: cache<0 skips the
+        # write in the reference, so nothing is incremented)
+        mark(ms, st[RSTART, :], markc)
+        mark(me, st[BP, :], markc)
+        st[HL0, :] = st[HL0, :] | jnp.where(markc & (st[HASC, :] == 0), 1, 0)
+        write_byte_at(low >> 16, st[BP, :], do)
+        st[RSTART, :] = jnp.where(flush, st[BP, :], st[RSTART, :])
+        st[HASC, :] = jnp.where(flush, 1, st[HASC, :])
+        st[CARRY, :] = jnp.where(flush, 0, carry)
+        st[BP, :] = st[BP, :] + jnp.where(do, 1, 0)
         st[LOW, :] = jnp.where(do, (low << 8) & 0x00FFFFFF, low)
 
     def ac_encode(cum_v, frq_v, do):
@@ -245,89 +238,35 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
     def spec_tuple(p):
         n = 2 * p
         in_t = n < lastnz_trunc
-        hi = n > ne // 2
-
-        ohc = (iota256 == st[CTX, :][None, :]).astype(jnp.bfloat16)
-        rows = jax.lax.dot_general(
-            pkb_ref[...].astype(jnp.bfloat16), ohc,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )  # [40, L]
-        pk4 = jnp.where(hi, rows[4:8, :], rows[0:4, :]).astype(I32)
-        esc_cum4 = (
-            jnp.where(hi, rows[12:16, :], rows[8:12, :]) * 256.0
-            + jnp.where(hi, rows[20:24, :], rows[16:20, :])
-        ).astype(I32)
-        esc_frq4 = (
-            jnp.where(hi, rows[28:32, :], rows[24:28, :]) * 256.0
-            + jnp.where(hi, rows[36:40, :], rows[32:36, :])
-        ).astype(I32)
-
         a0 = jnp.abs(xq_ref[pl.ds(2 * p, 1), :][0, :])
         b0 = jnp.abs(xq_ref[pl.ds(2 * p + 1, 1), :][0, :])
-        st[AA, :] = a0
-        st[BB, :] = b0
-        st[LEV, :] = jnp.zeros((lanes,), I32)
-        st[GOING, :] = jnp.where(in_t & (jnp.maximum(a0, b0) >= 4), 1, 0)
+        m = jnp.maximum(a0, b0)
+        g = jnp.zeros((lanes,), I32)
+        for j in range(14):
+            g = g + jnp.where(m >= (4 << j), 1, 0)
 
-        def ladder_cond(it):
-            return (it < 14) & jnp.any(st[GOING, :] > 0)
-
-        def ladder_body(it):
-            going = st[GOING, :] > 0
+        def ladder_body(it, _):
+            going = in_t & (it < g)
             lev4 = jnp.minimum(it, 3)
-            ec = jnp.where(
-                lev4 == 0, esc_cum4[0, :],
-                jnp.where(lev4 == 1, esc_cum4[1, :],
-                          jnp.where(lev4 == 2, esc_cum4[2, :], esc_cum4[3, :])),
-            )
-            ef = jnp.where(
-                lev4 == 0, esc_frq4[0, :],
-                jnp.where(lev4 == 1, esc_frq4[1, :],
-                          jnp.where(lev4 == 2, esc_frq4[2, :], esc_frq4[3, :])),
-            )
-            ac_encode(ec, ef, going)
-            a = st[AA, :]
-            b = st[BB, :]
+            pkv = pk_ref[pl.ds(lev4 * ntp + p, 1), :][0, :]
+            ac_encode(pkv & 1023, pkv >> 10, going)
             to_tail = going & (~lsb_mode | (it > 0))
-            write_uint_back((a & 1) | ((b & 1) << 1), 2, to_tail)
-            st[AA, :] = jnp.where(going, a >> 1, a)
-            st[BB, :] = jnp.where(going, b >> 1, b)
-            st[LEV, :] = st[LEV, :] + jnp.where(going, 1, 0)
-            st[GOING, :] = jnp.where(
-                going & (jnp.maximum(st[AA, :], st[BB, :]) >= 4), 1, 0
+            write_uint_back(
+                ((a0 >> it) & 1) | (((b0 >> it) & 1) << 1), 2, to_tail
             )
-            return it + 1
+            return 0
 
-        jax.lax.while_loop(ladder_cond, ladder_body, 0)
+        # scalar trip count (batch max of g for this tuple, via SMEM): no
+        # cross-lane reduction inside the loop
+        jax.lax.fori_loop(0, gmax_ref[p], ladder_body, 0)
 
-        a = st[AA, :]
-        b = st[BB, :]
-        lev = st[LEV, :]
-        lev4 = jnp.minimum(lev, 3)
-        pki_fin = jnp.where(
-            lev4 == 0, pk4[0, :],
-            jnp.where(lev4 == 1, pk4[1, :],
-                      jnp.where(lev4 == 2, pk4[2, :], pk4[3, :])),
-        )
-        sym = a + 4 * b
-        ohp = (iota64 == pki_fin[None, :]).astype(jnp.bfloat16)
-        bhl = jax.lax.dot_general(
-            cumb_ref[0:34, :].astype(jnp.bfloat16), ohp,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        cums_f = bhl[0:17, :] * 256.0 + bhl[17:34, :]  # [17, L] exact ints
-        cum_v = jnp.sum(
-            jnp.where(iota16v == sym[None, :], cums_f[0:16, :], 0.0), axis=0
-        ) + jnp.where(sym >= 16, cums_f[16, :], 0.0)
-        nxt = jnp.sum(
-            jnp.where(iota16v == sym[None, :], cums_f[1:17, :], 0.0), axis=0
-        ) + jnp.where(sym >= 16, 1024.0, 0.0)
-        ac_encode(cum_v.astype(I32), nxt.astype(I32) - cum_v.astype(I32), in_t)
+        pkf = pk_ref[pl.ds(4 * ntp + p, 1), :][0, :]
+        ac_encode(pkf & 1023, pkf >> 10, in_t)
 
-        # sign bits (a_lsb/b_lsb semantics: halved once in lsb mode if lev>0)
+        # sign bits (a_lsb/b_lsb semantics: halved once in lsb mode if g>0)
         xk = xq_ref[pl.ds(2 * p, 1), :][0, :]
         xk1 = xq_ref[pl.ds(2 * p + 1, 1), :][0, :]
-        shift_lsb = lsb_mode & (lev > 0)
+        shift_lsb = lsb_mode & (g > 0)
         a_lsb = jnp.where(shift_lsb, a0 >> 1, a0)
         b_lsb = jnp.where(shift_lsb, b0 >> 1, b0)
         a_on = in_t & (a_lsb > 0)
@@ -339,16 +278,11 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
         nbv = jnp.where(a_on, 1, 0) + jnp.where(b_on, 1, 0)
         write_uint_back_var(sv, nbv, 2, a_on | b_on)
 
-        t_next = jnp.where(lev4 <= 1, 1 + (a + b) * (lev4 + 1), 12 + lev4)
-        st[CTX, :] = jnp.where(in_t, (st[CTX, :] & 15) * 16 + t_next, st[CTX, :])
-
-    for_count = NT
-
     def spec_loop(p, _):
         spec_tuple(p)
         return 0
 
-    jax.lax.fori_loop(0, for_count, spec_loop, 0)
+    jax.lax.fori_loop(0, NT, spec_loop, 0)
 
     # ---- residual / lsb fill (bitstream_encoding.rs:328-352) --------------
     rng = st[RNG, :]
@@ -356,12 +290,15 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
     for i in range(1, 25):
         log2rng = log2rng + jnp.where(rng >= (1 << i), 1, 0)
     nbits_side = st[TCUR, :]
-    nbits_ari = st[BP, :] * 8 + (25 - log2rng) + 8 + 8 * st[CCNT, :]
+    # forecast (bitstream_encoding.rs:64-75): bp*8 + 25-log2(range) + 8 for
+    # the cache + 8*carry_count. In slot terms that collapses to 8*slots +
+    # 25-log2(range), except before the first shift (no cache yet) where
+    # the reference still adds its unconditional cache byte.
+    bp = st[BP, :]
+    nbits_ari = bp * 8 + (25 - log2rng) + jnp.where(bp == 0, 8, 0)
     st[BUD, :] = jnp.maximum(0, nbits - nbits_side - nbits_ari)
 
     # non-lsb: first min(budget, n_residual) bits in nonzero-line order
-    # (a fori_loop: unrolled, the 400 write temporaries overflow the
-    # Mosaic scoped-vmem stack)
     st[CNT, :] = jnp.zeros((lanes,), I32)
     res_limit = jnp.minimum(st[BUD, :], n_residual)
 
@@ -444,59 +381,65 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
     val = jnp.where(need_extra, ((low + mask) & 0x00FFFFFF) & ~mask, val)
     st[CARRY, :] = jnp.where(same & (val < low), 1, st[CARRY, :])
     st[LOW, :] = val
-    # while bits > 0: ac_shift(); bits -= 8   (at most 3 rounds; bits <= 25)
+    # while bits > 0: ac_shift(); bits -= 8   (at most 4 rounds; bits <= 25)
     brem = bits
     for _ in range(4):
         ac_shift(brem > 0)
         brem = brem - jnp.where(brem > 0, 8, 0)
     bits_fin = ((bits - 1) % 8) + 1  # value of `bits` after the loop, +8
 
-    has_cc = st[CCNT, :] > 0
-    write_byte_fwd(st[CACHE, :] & 255, has_cc)
-
-    def fin_drain_cond(_):
-        return jnp.any(has_cc & (st[CCNT, :] > 1))
-
-    def fin_drain_body(_):
-        m = has_cc & (st[CCNT, :] > 1)
-        write_byte_fwd(jnp.full((lanes,), 0xFF, I32), m)
-        st[CCNT, :] = st[CCNT, :] - jnp.where(m, 1, 0)
-        return 0
-
-    jax.lax.while_loop(fin_drain_cond, fin_drain_body, 0)
-    # trailing partial byte at bp (no advance): top `bits_fin` bits
-    fin_val = jnp.where(
-        has_cc,
-        jnp.right_shift(jnp.full((lanes,), 0xFF, I32), 8 - bits_fin),
-        st[CACHE, :] & 0xFF,
+    # the last slot is written as a partial byte: only its top bits_fin
+    # bits belong to the head stream (the rest meet the backward tail), so
+    # clear the optimistic write's low bits
+    pos = st[BP, :] - 1  # bits >= 1 forces at least one shift: BP >= 1
+    clr = jnp.right_shift(jnp.full((lanes,), 0xFF, I32), bits_fin)
+    wi = pos >> 2
+    clear_upd = jnp.where(
+        iotaw == wi[None, :], clr[None, :] << (((pos & 3) * 8)[None, :]), 0
     )
-    bp = st[BP, :]
-    wi = bp >> 2
-    for k in range(8):
-        bit = (fin_val >> (7 - k)) & 1
-        do = k < bits_fin
-        upd = jnp.where(
-            (iotaw == wi[None, :]) & do[None, :],
-            bit[None, :] << ((((bp & 3) * 8) + (7 - k))[None, :]), 0,
-        )
-        head_ref[...] = head_ref[...] | upd
+    head_ref[...] = head_ref[...] & ~clear_upd
+
+    # ---- carried-group fix-ups (disjoint; see module docstring) -----------
+    open_g = jnp.zeros((lanes,), I32)
+    hl0 = st[HL0, :] > 0
+    for p in range(min(nbytes, nwp * 4)):
+        s_p = (ms[p >> 5, :] >> (p & 31)) & 1
+        e_p = (me[p >> 5, :] >> (p & 31)) & 1
+        open_g = jnp.where(e_p > 0, 0, open_g)
+        start = s_p > 0
+        # headless first group: position 0 is itself a pending byte — the
+        # reference skips the cache write entirely, so clear, don't +1
+        if p == 0:
+            inc = start & ~hl0
+            clear_here = start & hl0
+        else:
+            inc = start
+            clear_here = open_g > 0
+        wrow = p >> 2
+        sh = (p & 3) * 8
+        w = head_ref[wrow, :]
+        cur = (w >> sh) & 255
+        newb = jnp.where(inc, (cur + 1) & 255, cur)
+        newb = jnp.where(clear_here, 0, newb)
+        w2 = (w & ~(255 << sh)) | (newb << sh)
+        head_ref[wrow, :] = jnp.where(inc | clear_here, w2, w)
+        open_g = jnp.where(start, 1, open_g)
 
 
 def _run_pack_kernel(cfg: Lc3Config, nbytes: int, xq_t, res_t, side_rows,
-                     interpret: bool = False):
+                     pk_rows, gmax, interpret: bool = False):
     ne = cfg.ne
     S = xq_t.shape[1]
     nbits = nbytes * 8
     fs_ind = cfg.fs_ind
-    rate_flag = 512 if nbits > (160 + fs_ind * 160) else 0
     is_7p5 = cfg.n_ms == FrameDuration.MS7P5
     lpcw = 1 if nbits < (360 if is_7p5 else 480) else 0
     nbits_bw = [0, 1, 2, 2, 3][fs_ind]
-    pkb, cumb = _pack_tables(rate_flag)
 
     nw = -(-nbytes // 4)
     nwp = -(-nw // 8) * 8
     nep = xq_t.shape[0]
+    ntp = pk_rows.shape[0] // 5
 
     # the straight-line side-info write sequence keeps [nwp, lanes] update
     # temporaries on the Mosaic stack; 512 lanes stays inside the 16 MB
@@ -506,43 +449,63 @@ def _run_pack_kernel(cfg: Lc3Config, nbytes: int, xq_t, res_t, side_rows,
         lanes *= 2
 
     head_t, tail_t = pl.pallas_call(
-        partial(_pack_kernel, ne, nbytes, nwp, lanes, rate_flag, lpcw,
-                nbits_bw),
+        partial(_pack_kernel, ne, nbytes, nwp, ntp, lanes, lpcw, nbits_bw),
         out_shape=(
             jax.ShapeDtypeStruct((nwp, S), I32),
             jax.ShapeDtypeStruct((nwp, S), I32),
         ),
         grid=(S // lanes,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((nep, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((nep, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((40, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((40, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((40, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5 * ntp, lanes), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((nwp, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((nwp, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((24, lanes), I32)],
+        scratch_shapes=[
+            pltpu.VMEM((16, lanes), I32),  # state rows
+            pltpu.VMEM((16, lanes), I32),  # carried-group start marks
+            pltpu.VMEM((16, lanes), I32),  # carried-group end marks
+        ],
         interpret=interpret,
-    )(xq_t, res_t, side_rows, jnp.asarray(pkb), jnp.asarray(cumb))
+    )(gmax, xq_t, res_t, side_rows, pk_rows)
     return head_t, tail_t
 
 
 def device_pack(cfg: Lc3Config, nbytes: int, fields: dict,
                 interpret: bool = False) -> jax.Array:
-    """Encoder fields (encode_step output, device arrays) -> uint8 frames
-    [S, nbytes], entirely on device. S must be a multiple of 128."""
+    """Encoder fields (encode_step(..., emit_pack=True) output, device
+    arrays) -> uint8 frames [S, nbytes], entirely on device. S must be a
+    multiple of 128. Requires fields["quant_pack_tables"] (or
+    fields["pack_tables"]): the range-coder operands precomputed by the
+    bit-model pass."""
     ne = cfg.ne
+    NT = ne // 2
     xq = fields["x_q"].astype(I32)
     S = xq.shape[0]
     assert S % 128 == 0, "pad the stream axis to a multiple of 128"
+    pk_rows = fields.get("quant_pack_tables", fields.get("pack_tables"))
+    assert pk_rows is not None, \
+        "device_pack needs pack_tables: run encode_step with emit_pack=True"
     nep = -(-ne // 8) * 8
     xq_t = jnp.pad(xq, ((0, 0), (0, nep - ne))).T
     res_t = jnp.pad(
         fields["residual_bits"].astype(I32), ((0, 0), (0, nep - ne))
     ).T
+
+    # per-tuple batch max of the escape-ladder depth -> SMEM scalar bounds
+    pairs = jnp.abs(xq).reshape(S, NT, 2)
+    m = jnp.maximum(pairs[:, :, 0], pairs[:, :, 1])
+    g = jnp.sum(
+        m[:, :, None] >= jnp.asarray(4 << np.arange(14))[None, None, :], axis=2
+    ).astype(I32)
+    ntp = pk_rows.shape[0] // 5
+    gmax = jnp.pad(jnp.max(g, axis=0), (0, ntp - NT))
 
     def row(v):
         return jnp.broadcast_to(jnp.asarray(v, I32), (S,))
@@ -573,7 +536,7 @@ def device_pack(cfg: Lc3Config, nbytes: int, fields: dict,
     )
 
     head_t, tail_t = _run_pack_kernel(cfg, nbytes, xq_t, res_t, side_rows,
-                                      interpret=interpret)
+                                      pk_rows, gmax, interpret=interpret)
     # unpack words -> bytes, reverse the tail stream, OR the two halves
     nw = -(-nbytes // 4)
 
@@ -593,5 +556,5 @@ def encode_bytes_step(cfg: Lc3Config, nbytes: int, state, pcm):
     """Fully fused on-device encode: PCM [S, nf] -> frame bytes [S, nbytes]."""
     from ..dsp.encoder import encode_step
 
-    state, fields = encode_step(cfg, nbytes, state, pcm)
+    state, fields = encode_step(cfg, nbytes, state, pcm, emit_pack=True)
     return state, device_pack(cfg, nbytes, fields)

@@ -35,6 +35,21 @@ from .params import dct_iv_matrix
 
 F32 = jnp.float32
 
+
+def _seq_fold(x, axis: int):
+    """Strict left-to-right f32 sum over `axis`, pinned by construction
+    (an unrolled add chain, like pallas_sns._sfold). jnp.cumsum(...)[-1] is
+    NOT a safe stand-in: XLA may lower cumsum as a parallel prefix scan on
+    some backends/versions, which changes rounding and would silently break
+    the byte-exact parity with the reference's sequential f32 accumulation
+    (spectral_noise_shaping.rs:387-405, spectral_quantization.rs:174-209)."""
+    xs = jnp.moveaxis(x, axis, 0)
+    acc = xs[0]
+    for i in range(1, xs.shape[0]):
+        acc = acc + xs[i]
+    return acc
+
+
 # ------------------------------------------------------------------ params
 
 
@@ -348,7 +363,7 @@ def sns_analysis(p: EncoderParams, x, e_b, attack, use_pallas: bool | None = Non
         axis=1,
     )
     sm = sm * jnp.asarray(p.preemph)[None, :]
-    total = jnp.cumsum(sm, axis=1)[:, -1:]  # sequential f32 fold
+    total = _seq_fold(sm, 1)[:, None]  # sequential f32 fold
     noise_floor = jnp.maximum(total / F32(64.0) * F32(1e-4), F32(2.0**-32))
     sm = jnp.maximum(sm, noise_floor)
     sm = jnp.log2(F32(np.finfo(np.float32).eps) + sm) / F32(2.0)
@@ -357,7 +372,7 @@ def sns_analysis(p: EncoderParams, x, e_b, attack, use_pallas: bool | None = Non
         "sb,bk->sk", sm, jnp.asarray(p.group_mat),
         preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST,
     )
-    mean = jnp.cumsum(ds, axis=1)[:, -1:] / F32(16.0)
+    mean = _seq_fold(ds, 1)[:, None] / F32(16.0)
     ds = F32(0.85) * (ds - mean)
 
     # attack smoothing
@@ -377,9 +392,9 @@ def sns_analysis(p: EncoderParams, x, e_b, attack, use_pallas: bool | None = Non
     # ---- stage 1: codebook MSE search
     lf = jnp.asarray(T.LFCB)  # [32,8]
     hf = jnp.asarray(T.HFCB)
-    # cumsum = the reference's sequential f32 accumulation order
-    d_lf = jnp.cumsum((scf[:, None, :8] - lf[None, :, :]) ** 2, axis=2)[:, :, -1]
-    d_hf = jnp.cumsum((scf[:, None, 8:] - hf[None, :, :]) ** 2, axis=2)[:, :, -1]
+    # the reference's sequential f32 accumulation order
+    d_lf = _seq_fold((scf[:, None, :8] - lf[None, :, :]) ** 2, 2)
+    d_hf = _seq_fold((scf[:, None, 8:] - hf[None, :, :]) ** 2, 2)
     ind_lf = jnp.argmin(d_lf, axis=1)
     ind_hf = jnp.argmin(d_hf, axis=1)
     st1 = jnp.concatenate([lf[ind_lf], hf[ind_hf]], axis=1)
@@ -405,12 +420,12 @@ def sns_analysis(p: EncoderParams, x, e_b, attack, use_pallas: bool | None = Non
     abs_x = jnp.abs(t2rot)
     # sequential f32 folds mirroring the reference's accumulation order
     # (spectral_noise_shaping.rs:387-405)
-    abs_sum = jnp.cumsum(abs_x, axis=1)[:, -1:]
+    abs_sum = _seq_fold(abs_x, 1)[:, None]
     proj = (F32(6.0) - F32(1.0)) / abs_sum
     y3 = jnp.floor(abs_x * proj).astype(jnp.int32)
     k0 = jnp.sum(y3, axis=1)
-    corr = jnp.cumsum(y3.astype(F32) * abs_x, axis=1)[:, -1]
-    energy = jnp.cumsum((y3 * y3).astype(F32), axis=1)[:, -1]
+    corr = _seq_fold(y3.astype(F32) * abs_x, 1)
+    energy = _seq_fold((y3 * y3).astype(F32), 1)
 
     def greedy_round(y, corr_l, energy_l, corr_art, energy_art, need, n_active):
         """One greedy pulse: cross-multiplied comparison scanned lane by lane
@@ -496,7 +511,7 @@ def sns_analysis(p: EncoderParams, x, e_b, attack, use_pallas: bool | None = Non
     def normalize(y, n_active):
         lane_ok = jnp.arange(16)[None, :] < n_active
         yf = jnp.where(lane_ok, y, 0).astype(F32)
-        norm = jnp.sqrt(jnp.cumsum(yf * yf, axis=1)[:, -1:])  # sequential fold
+        norm = jnp.sqrt(_seq_fold(yf * yf, 1))[:, None]  # sequential fold
         return jnp.where(yf != 0.0, yf / norm, yf)
 
     xq = jnp.stack(
@@ -506,7 +521,7 @@ def sns_analysis(p: EncoderParams, x, e_b, attack, use_pallas: bool | None = Non
 
     gains = jnp.asarray(_SNS_GAINS_PAD)  # [4,8]
     diff_t = t2rot[:, None, None, :] - gains[None, :, :, None] * xq[:, :, None, :]
-    mse = jnp.cumsum(diff_t * diff_t, axis=3)[:, :, :, -1]  # [S,4,8] seq fold
+    mse = _seq_fold(diff_t * diff_t, 3)  # [S,4,8] seq fold
     gain_valid = np.zeros((4, 8), dtype=bool)
     for j, n in enumerate(_SNS_GAINS_N):
         gain_valid[j, :n] = True
@@ -839,8 +854,13 @@ def _gain_table(nbits: int, fs_ind: int) -> tuple[np.ndarray, int]:
 
 
 def spectral_quantize(p: EncoderParams, state: EncoderState, x_f, nbits: int,
-                      nbits_bw: int, nbits_tns, nbits_ltpf):
-    """Gain search + quantization + bit model (spectral_quantization.rs)."""
+                      nbits_bw: int, nbits_tns, nbits_ltpf,
+                      emit_pack: bool = False):
+    """Gain search + quantization + bit model (spectral_quantization.rs).
+
+    emit_pack additionally emits the range-encoder operand rows for the
+    final quantization (fields["pack_tables"]) off the second bit-model
+    pass's table fetches — consumed by coding.pallas_pack.device_pack."""
     cfg = p.cfg
     S = x_f.shape[0]
     ne = cfg.ne
@@ -909,7 +929,7 @@ def spectral_quantize(p: EncoderParams, state: EncoderState, x_f, nbits: int,
             ),
             F32(0.0),
         )
-        tmp = jnp.cumsum(below_term + above_term, axis=1)[:, -1]
+        tmp = _seq_fold(below_term + above_term, 1)
         is_zero = ~jnp.any(above, axis=1)
         limit = nbits_spec_adj.astype(F32) * F32(1.4) * k28 / k20
         overshoot = (tmp > limit) & ~is_zero
@@ -926,19 +946,18 @@ def spectral_quantize(p: EncoderParams, state: EncoderState, x_f, nbits: int,
     reset_offset = (gg_ind < gg_min) | (x_max == 0.0)
     gg_ind = jnp.where(reset_offset, gg_min, gg_ind)
 
-    def quantize(gg_ind):
+    def quant_only(gg_ind):
         gg = jnp.asarray(gg_table)[jnp.clip(gg_ind, 0, 255)]
         scaled = x_f / gg[:, None]
         offs = jnp.where(x_f >= 0.0, scaled + F32(0.375), scaled - F32(0.375))
         x_q = jnp.clip(jnp.trunc(offs), -32768.0, 32767.0).astype(jnp.int32)
-        bc = bit_consumption(p, x_q, nbits, nbits_spec)
-        x_q = jnp.where(
-            jnp.arange(ne)[None, :] < bc["lastnz_trunc"][:, None], x_q, 0
-        )
-        lsb_mode = bc["mode_flag"] & (bc["nbits_est"] > nbits_spec)
-        return x_q, gg, bc, lsb_mode
+        return x_q, gg
 
-    x_q, gg, bc, lsb_mode = quantize(gg_ind)
+    # pass 1: quantize at the bisected gain; its bit model feeds only the
+    # adaptation state and the adjustment decision (the reference's first
+    # compute_bit_consumption, spectral_quantization.rs:100-102)
+    x_q1, gg1 = quant_only(gg_ind)
+    bc = bit_consumption(p, x_q1, nbits, nbits_spec)
 
     new_quant_state = dict(
         quant_nbits_offset=nbits_offset,
@@ -976,22 +995,33 @@ def spectral_quantize(p: EncoderParams, state: EncoderState, x_f, nbits: int,
     new_gg_ind = jnp.where(cond, jnp.maximum(gg_ind + adj, gg_min), gg_ind)
     adjusted = new_gg_ind != gg_ind
 
-    x_q2, gg2, bc2, lsb2 = quantize(new_gg_ind)
-    x_q = jnp.where(adjusted[:, None], x_q2, x_q)
-    gg = jnp.where(adjusted, gg2, gg)
-    lsb_mode = jnp.where(adjusted, lsb2, lsb_mode)
-    bc = {k: jnp.where(adjusted, bc2[k], bc[k]) for k in bc}
+    # pass 2 (the reference's conditional re-quantization, :103-107) runs on
+    # the per-lane MERGED quantization: lanes that did not adjust reproduce
+    # pass 1's bit model exactly, so one final bit_consumption yields every
+    # output field without a per-key merge — and its table pass is the one
+    # whose (context, level, symbol) statistics the device range encoder
+    # reuses (see pallas_pack).
+    x_q2, gg2 = quant_only(new_gg_ind)
+    x_qf = jnp.where(adjusted[:, None], x_q2, x_q1)
+    gg = jnp.where(adjusted, gg2, gg1)
+    bcf = bit_consumption(p, x_qf, nbits, nbits_spec, emit_pack=emit_pack)
+    x_q = jnp.where(
+        jnp.arange(ne)[None, :] < bcf["lastnz_trunc"][:, None], x_qf, 0
+    )
+    lsb_mode = bcf["mode_flag"] & (bcf["nbits_est"] > nbits_spec)
 
     fields = dict(
-        gg_ind=new_gg_ind, nbits_spec=nbits_spec, nbits_lsb=bc["nbits_lsb"],
-        nbits_trunc=bc["nbits_trunc"], lsb_mode=lsb_mode,
-        rate_flag=bc["rate_flag"], lastnz_trunc=bc["lastnz_trunc"], gg=gg,
+        gg_ind=new_gg_ind, nbits_spec=nbits_spec, nbits_lsb=bcf["nbits_lsb"],
+        nbits_trunc=bcf["nbits_trunc"], lsb_mode=lsb_mode,
+        rate_flag=bcf["rate_flag"], lastnz_trunc=bcf["lastnz_trunc"], gg=gg,
     )
+    if emit_pack:
+        fields["pack_tables"] = bcf["pack_tables"]
     return x_q, fields, new_quant_state
 
 
 def bit_consumption(p: EncoderParams, x_q, nbits: int, nbits_spec,
-                    use_pallas: bool | None = None):
+                    use_pallas: bool | None = None, emit_pack: bool = False):
     """Arithmetic-coder bit model, fully parallel over spectral tuples
     (spectral_quantization.rs:265-348).
 
@@ -1045,10 +1075,17 @@ def bit_consumption(p: EncoderParams, x_q, nbits: int, nbits_spec,
         from .pallas_bitmodel import bitmodel_table_part
 
         go0 = go[:, :, 0]
-        est_c = bitmodel_table_part(c, g, sym, rate_flag, ne)
-        return _bit_consumption_tail(
+        if emit_pack:
+            est_c, pk = bitmodel_table_part(c, g, sym, rate_flag, ne,
+                                            emit_pack=True)
+        else:
+            est_c = bitmodel_table_part(c, g, sym, rate_flag, ne)
+        out = _bit_consumption_tail(
             est_c, a0, b0, g, go0, lastnz, nbits_spec, mode_flag, rate_flag, NT
         )
+        if emit_pack:
+            out["pack_tables"] = pk
+        return out
 
     # TAB[hi][c, L*17 + sym] = AC_SPEC_BITS[AC_SPEC_LOOKUP[c + rate + hi*256
     # + L*1024], sym]; the hi flag (n > ne/2) is static per position
@@ -1093,9 +1130,36 @@ def bit_consumption(p: EncoderParams, x_q, nbits: int, nbits_spec,
         jnp.where(fin_idx[:, :, None] == jnp.arange(68)[None, None, :], bitsk, 0.0),
         axis=2,
     )
-    return _bit_consumption_tail(
+    out = _bit_consumption_tail(
         est_c, a0, b0, g, go0, lastnz, nbits_spec, mode_flag, rate_flag, NT
     )
+    if emit_pack:
+        # range-encoder operands (CPU/interpret formulation: plain gathers —
+        # this path never runs on TPU); layout matches the kernel's
+        # [5*nt_pad, S] rows (L*nt_pad+n escapes, 4*nt_pad+n final)
+        nt_pad = -(-NT // 8) * 8
+        cumn = np.asarray(T.AC_SPEC_CUMFREQ, np.int64)
+        frqn = np.asarray(T.AC_SPEC_FREQ, np.int64)
+        pki_t = lut[
+            np.arange(256)[:, None, None] + rate_flag
+            + np.arange(2)[None, :, None] * 256
+            + np.arange(4)[None, None, :] * 1024
+        ]  # [256, 2, 4]
+        hi_row = jnp.asarray((2 * np.arange(NT) > ne // 2).astype(np.int32))
+        esc_tab = cumn[:, 16][pki_t] + frqn[:, 16][pki_t] * 1024  # [256,2,4]
+        esc_pk = jnp.asarray(esc_tab, I32)[c, hi_row[None, :]]  # [S,NT,4]
+        pki_fin = jnp.asarray(pki_t, I32)[c, hi_row[None, :], lev_fin]
+        cum_v = jnp.asarray(cumn, I32)[pki_fin, sym]
+        nxt_v = jnp.asarray(cumn, I32)[pki_fin, jnp.minimum(sym + 1, 16)]
+        fin_pk = cum_v + (nxt_v - cum_v) * 1024  # [S, NT]
+        rows = jnp.concatenate(
+            [jnp.pad(esc_pk[:, :, lv], ((0, 0), (0, nt_pad - NT))).T
+             for lv in range(4)]
+            + [jnp.pad(fin_pk, ((0, 0), (0, nt_pad - NT))).T],
+            axis=0,
+        )
+        out["pack_tables"] = rows
+    return out
 
 
 def _bit_consumption_tail(est_c, a0, b0, g, go0, lastnz, nbits_spec,
@@ -1177,8 +1241,13 @@ def noise_level_batch(p: EncoderParams, x_f, x_q, bw_ind, gg):
 # ------------------------------------------------------------- fused step
 
 
-def encode_step(cfg: Lc3Config, nbytes: int, state: EncoderState, x_s):
-    """One batched frame: PCM [S, nf] int16 -> (state, bitstream fields)."""
+def encode_step(cfg: Lc3Config, nbytes: int, state: EncoderState, x_s,
+                emit_pack: bool = False):
+    """One batched frame: PCM [S, nf] int16 -> (state, bitstream fields).
+
+    emit_pack adds fields["quant_pack_tables"] (range-encoder operands for
+    the device pack kernel); leave it off for the host-pack path so the
+    fetched fields stay small."""
     p = encoder_params(cfg)
     nbits = nbytes * 8
 
@@ -1191,6 +1260,7 @@ def encode_step(cfg: Lc3Config, nbytes: int, state: EncoderState, x_s):
     x_q, quant_fields, quant_state = spectral_quantize(
         p, state, x, nbits, nbits_bw,
         tns_fields["nbits_tns"], ltpf_fields["nbits_ltpf"],
+        emit_pack=emit_pack,
     )
     res_bits, n_res = residual_bits_batch(
         p, quant_fields["nbits_spec"], quant_fields["nbits_trunc"],

@@ -34,14 +34,20 @@ BF16 = jnp.bfloat16
 LANES = 128
 
 
-def _bitmodel_tables(rate_flag: int):
+def _bitmodel_tables(rate_flag: int, emit_pack: bool = False):
     """Bake the spec tables for one rate_flag as matmul-ready constants.
 
     One [24, 256] table drives the first one-hot matmul (its M dim pads to
     128 on the MXU, so the extra rows are free): rows 0..7 are the pki model
     indices per (hi, L), rows 8..15 / 16..23 the hi/lo bytes of the escape
     cost E[pki] pre-composed through the lookup — this keeps the per-level
-    escape lookups out of the VPU entirely."""
+    escape lookups out of the VPU entirely.
+
+    With emit_pack the tables grow (still inside the free 128-row MXU pad)
+    so the same one-hots also fetch the range-*encoder* operands: rows
+    24..55 are the escape symbol's cum/freq hi/lo bytes per (hi, L)
+    (AC_SPEC_CUMFREQ/FREQ[pki, 16]), and the second table gains the full
+    byte-split CUMFREQ rows 34..67 for the final-symbol cum/freq."""
     lut = np.asarray(T.AC_SPEC_LOOKUP, np.int64)  # [4096]
     bits = np.asarray(T.AC_SPEC_BITS, np.int64)  # [64, 17]
     # pki[hi*4+L, c] = AC_SPEC_LOOKUP[c + rate + hi*256 + L*1024], c in [0,256)
@@ -53,21 +59,36 @@ def _bitmodel_tables(rate_flag: int):
     )
     pki = lut[idx]  # [8, 256]
     esc = bits[:, 16][pki]  # [8, 256] escape-symbol cost per (hi, L)
-    lut24 = np.zeros((24, 256), np.float32)
+    nrow = 56 if emit_pack else 24
+    lut24 = np.zeros((nrow, 256), np.float32)
     lut24[0:8] = pki
     lut24[8:16] = esc // 256
     lut24[16:24] = esc % 256
     # BITS byte-split, transposed: rows 0..16 hi byte, 17..33 lo byte
-    bt = np.zeros((48, 64), np.float32)
+    bt = np.zeros((68 if emit_pack else 48, 64), np.float32)
     bt[0:17] = (bits // 256).T
     bt[17:34] = (bits % 256).T
+    if emit_pack:
+        cum = np.asarray(T.AC_SPEC_CUMFREQ, np.int64)  # [64, 17]
+        frq = np.asarray(T.AC_SPEC_FREQ, np.int64)
+        lut24[24:32] = cum[:, 16][pki] // 256
+        lut24[32:40] = cum[:, 16][pki] % 256
+        lut24[40:48] = frq[:, 16][pki] // 256
+        lut24[48:56] = frq[:, 16][pki] % 256
+        bt[34:51] = (cum // 256).T
+        bt[51:68] = (cum % 256).T
     return lut24, bt.astype(np.float32)
 
 
-def _kernel(nt: int, ne4: int, lanes: int, lut24_ref, bitsT_ref, c_ref,
-            g_ref, sym_ref, out_ref):
-    lut24 = lut24_ref[...].astype(BF16)  # [24, 256]
-    bitsT = bitsT_ref[0:34, :].astype(BF16)  # [34, 64]
+def _kernel(nt: int, ne4: int, lanes: int, emit_pack: bool, *refs):
+    if emit_pack:
+        lut24_ref, bitsT_ref, c_ref, g_ref, sym_ref, out_ref, pk_ref = refs
+        lut24 = lut24_ref[...].astype(BF16)  # [56, 256]
+        bitsT = bitsT_ref[0:68, :].astype(BF16)  # [68, 64]
+    else:
+        lut24_ref, bitsT_ref, c_ref, g_ref, sym_ref, out_ref = refs
+        lut24 = lut24_ref[...].astype(BF16)  # [24, 256]
+        bitsT = bitsT_ref[0:34, :].astype(BF16)  # [34, 64]
     iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, lanes), 0)
     iota64 = jax.lax.broadcasted_iota(jnp.int32, (64, lanes), 0)
     iota17 = jax.lax.broadcasted_iota(jnp.int32, (17, lanes), 0)
@@ -110,21 +131,47 @@ def _kernel(nt: int, ne4: int, lanes: int, lut24_ref, bitsT_ref, c_ref,
         fin = jnp.sum(jnp.where(iota17 == sv[None, :], brow, 0.0), axis=0)
 
         out_ref[n, :] = esc_part + fin
+
+        if emit_pack:
+            # range-encoder operands off the same one-hots, packed
+            # cum | frq << 10 (all < 2^21: exact in f32)
+            esc_cum = jnp.where(hi, m2[28:32, :], m2[24:28, :]) * F32(256.0) \
+                + jnp.where(hi, m2[36:40, :], m2[32:36, :])
+            esc_frq = jnp.where(hi, m2[44:48, :], m2[40:44, :]) * F32(256.0) \
+                + jnp.where(hi, m2[52:56, :], m2[48:52, :])
+            for lv in range(4):
+                pk_ref[lv * nt + n, :] = (
+                    esc_cum[lv, :] + esc_frq[lv, :] * F32(1024.0)
+                ).astype(jnp.int32)
+            crow = bhl[34:51, :] * F32(256.0) + bhl[51:68, :]  # [17, L] cum
+            # the final symbol is a_f + 4*b_f <= 15, so sym+1 <= 16 is a
+            # valid cumfreq column (escape sym 16 never reaches here)
+            cum_v = jnp.sum(jnp.where(iota17 == sv[None, :], crow, 0.0), axis=0)
+            nxt = jnp.sum(jnp.where(iota17 == sv[None, :] + 1, crow, 0.0), axis=0)
+            pk_ref[4 * nt + n, :] = (
+                cum_v + (nxt - cum_v) * F32(1024.0)
+            ).astype(jnp.int32)
         return 0
 
     jax.lax.fori_loop(0, nt, body, 0)
 
 
 def bitmodel_table_part(c, g, sym, rate_flag: int, ne: int,
-                        interpret: bool = False):
+                        interpret: bool = False, emit_pack: bool = False):
     """Per-tuple table bits (escape ladder + final symbol), [S, NT] f32.
 
     c: context in [0,256); g: ladder depth; sym: final symbol in [0,16].
     All [S, NT] int32. S must be a multiple of 128. Exact integers in f32.
-    """
+
+    emit_pack additionally returns the range-encoder operands for the same
+    tuples as a [5*nt_pad, S] int32 array in the pack kernel's layout:
+    rows L*nt_pad+n the escape (cum + freq*1024) at ladder level L, rows
+    4*nt_pad+n the final symbol's (cum + freq*1024). The fetches ride the
+    one-hot matmuls this kernel already builds, so the device range encoder
+    (coding/pallas_pack.py) needs no table lookups of its own."""
     S, NT = c.shape
     assert S % LANES == 0, "pad the stream axis to a multiple of 128"
-    lut24, bitsT = _bitmodel_tables(rate_flag)
+    lut24, bitsT = _bitmodel_tables(rate_flag, emit_pack)
     nt_pad = -(-NT // 8) * 8
     if nt_pad != NT:
         padr = ((0, 0), (0, nt_pad - NT))
@@ -142,19 +189,31 @@ def bitmodel_table_part(c, g, sym, rate_flag: int, ne: int,
            and (nt_pad * 4 + 256) * 2 * lanes * 2 * 4 < 2 ** 23):
         lanes *= 2
 
-    out_t = pl.pallas_call(
-        partial(_kernel, nt_pad, ne4, lanes),
-        out_shape=jax.ShapeDtypeStruct((nt_pad, S), F32),
+    out_shape = [jax.ShapeDtypeStruct((nt_pad, S), F32)]
+    out_specs = [
+        pl.BlockSpec((nt_pad, lanes), lambda i: (0, i),
+                     memory_space=pltpu.VMEM)
+    ]
+    if emit_pack:
+        out_shape.append(jax.ShapeDtypeStruct((5 * nt_pad, S), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((5 * nt_pad, lanes), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+        )
+    outs = pl.pallas_call(
+        partial(_kernel, nt_pad, ne4, lanes, emit_pack),
+        out_shape=tuple(out_shape) if emit_pack else out_shape[0],
         grid=(S // lanes,),
         in_specs=[
-            pl.BlockSpec((24, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((48, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(lut24.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(bitsT.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nt_pad, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((nt_pad, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((nt_pad, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nt_pad, lanes), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=tuple(out_specs) if emit_pack else out_specs[0],
         interpret=interpret,
     )(jnp.asarray(lut24), jnp.asarray(bitsT), c.T, g.T, sym.T)
-    return out_t[:NT].T
+    if emit_pack:
+        return outs[0][:NT].T, outs[1]
+    return outs[:NT].T

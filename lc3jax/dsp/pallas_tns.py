@@ -29,9 +29,12 @@ F32 = jnp.float32
 LANES = 128
 
 
-def _tns_kernel(ne: int, x_ref, rc_ref, bounds_ref, order_ref, out_ref, state):
-    # state: [8, LANES] VMEM scratch
-    state[...] = jnp.zeros((8, LANES), F32)
+def _tns_kernel(ne: int, lanes: int, x_ref, rc_ref, bounds_ref, order_ref,
+                out_ref, state):
+    # state: [8, lanes] VMEM scratch. Wide lane blocks matter here: a [128]
+    # f32 row fills 1/8 of a vreg, so running 512-1024 streams per block
+    # amortizes the per-op issue latency of this ne-step serial loop ~4-8x.
+    state[...] = jnp.zeros((8, lanes), F32)
 
     lo0 = bounds_ref[0, :]
     hi0 = bounds_ref[1, :]
@@ -67,13 +70,14 @@ def _tns_kernel(ne: int, x_ref, rc_ref, bounds_ref, order_ref, out_ref, state):
     jax.lax.fori_loop(0, ne, body, 0)
 
 
-def _tns_enc_kernel(ne: int, x_ref, rc_ref, bounds_ref, order_ref, out_ref, state):
+def _tns_enc_kernel(ne: int, lanes: int, x_ref, rc_ref, bounds_ref, order_ref,
+                    out_ref, state):
     """Forward (analysis) lattice, encoder/temporal_noise_shaping.rs:76-110.
 
-    Same layout as the synthesis kernel: streams on lanes, state [8, LANES]
+    Same layout as the synthesis kernel: streams on lanes, state [8, lanes]
     in VMEM scratch, taps unrolled.
     """
-    state[...] = jnp.zeros((8, LANES), F32)
+    state[...] = jnp.zeros((8, lanes), F32)
 
     lo0 = bounds_ref[0, :]
     hi0 = bounds_ref[1, :]
@@ -81,7 +85,7 @@ def _tns_enc_kernel(ne: int, x_ref, rc_ref, bounds_ref, order_ref, out_ref, stat
     hi1 = bounds_ref[3, :]
     ord0 = order_ref[0, :]
     ord1 = order_ref[1, :]
-    lane8 = [jnp.full((LANES,), k, jnp.int32) for k in range(8)]
+    lane8 = [jnp.full((lanes,), k, jnp.int32) for k in range(8)]
 
     def body(n, _):
         xv = x_ref[n, :]
@@ -102,8 +106,8 @@ def _tns_enc_kernel(ne: int, x_ref, rc_ref, bounds_ref, order_ref, out_ref, stat
             new_rows[kk] = jnp.where(m & active, st_save, s_k)
             st_save = jnp.where(m, st_tmp, st_save)
         last = jnp.clip(order - 1, 0, 7)
-        rc_last = jnp.zeros((LANES,), F32)
-        st_last = jnp.zeros((LANES,), F32)
+        rc_last = jnp.zeros((lanes,), F32)
+        st_last = jnp.zeros((lanes,), F32)
         for k in range(8):
             sel = last == lane8[k]
             rc_k = jnp.where(in_f1, rc_ref[8 + k, :], rc_ref[k, :])
@@ -175,23 +179,26 @@ def tns_analysis_pallas(p, x, bounds, rc_order, num_filters, rc_q,
     """
     S, ne = x.shape
     assert S % LANES == 0, "pad the stream axis to a multiple of 128"
+    lanes = LANES
+    while lanes < 1024 and S % (lanes * 2) == 0 and ne * lanes * 2 * 2 * 4 < 2 ** 23:
+        lanes *= 2
     bounds_t = bounds.reshape(S, 4).T.astype(jnp.int32)
     # fold the num_filters>1 gate into the second filter's order
     ord1 = jnp.where(num_filters > 1, rc_order[:, 1], 0)
     order_t = jnp.stack([rc_order[:, 0], ord1]).astype(jnp.int32)
 
     out_t = pl.pallas_call(
-        partial(_tns_enc_kernel, ne),
+        partial(_tns_enc_kernel, ne, lanes),
         out_shape=jax.ShapeDtypeStruct((ne, S), F32),
-        grid=(S // LANES,),
+        grid=(S // lanes,),
         in_specs=[
-            pl.BlockSpec((ne, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ne, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ne, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((8, LANES), F32)],
+        out_specs=pl.BlockSpec((ne, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, lanes), F32)],
         interpret=interpret,
     )(x.T, rc_q.T, bounds_t, order_t)
     return out_t.T
@@ -213,19 +220,21 @@ def tns_synthesis_pallas(p: DecoderParams, x, bandwidth, rc_order, rc_i,
     order_t = rc_order.T.astype(jnp.int32)  # [2, S]
 
     xt = x.T  # [ne, S]
-    grid = (S // LANES,)
+    lanes = LANES
+    while lanes < 1024 and S % (lanes * 2) == 0 and ne * lanes * 2 * 2 * 4 < 2 ** 23:
+        lanes *= 2
     out_t = pl.pallas_call(
-        partial(_tns_kernel, ne),
+        partial(_tns_kernel, ne, lanes),
         out_shape=jax.ShapeDtypeStruct((ne, S), F32),
-        grid=grid,
+        grid=(S // lanes,),
         in_specs=[
-            pl.BlockSpec((ne, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ne, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ne, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((8, LANES), F32)],
+        out_specs=pl.BlockSpec((ne, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, lanes), F32)],
         interpret=interpret,
     )(xt, rc_q.T, bounds_t, order_t)
     return out_t.T

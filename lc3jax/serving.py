@@ -47,23 +47,24 @@ class BatchDecoder:
         self.metrics = CodecMetrics()
         self._frame_seconds = cfg.nf / cfg.fs
 
-    def _get_step(self, nbytes: int):
+    def _get_step(self, nbytes: int, stats: bool = False):
         # the decoder state depends only on (cfg, n_streams), so a stream may
         # change its frame size at any frame boundary (the reference derives
         # nbits from the buffer length per call, lc3_encoder.rs:65): one
         # jitted program per nbytes, state carried across program switches
-        if nbytes not in self._steps:
+        key = (nbytes, stats)
+        if key not in self._steps:
             if self.device_parse:
-                from .coding.device import decode_bytes_step
+                from .coding.device import (decode_bytes_step,
+                                            decode_bytes_step_stats)
 
-                self._steps[nbytes] = jax.jit(
-                    partial(decode_bytes_step, self.cfg, nbytes)
-                )
+                fn = decode_bytes_step_stats if stats else decode_bytes_step
+                self._steps[key] = jax.jit(partial(fn, self.cfg, nbytes))
             else:
-                self._steps[nbytes] = jax.jit(
+                self._steps[key] = jax.jit(
                     partial(decode_step, self.cfg, nbytes * 8)
                 )
-        return self._steps[nbytes]
+        return self._steps[key]
 
     def _parse(self, payloads: np.ndarray):
         if native.available():
@@ -73,11 +74,17 @@ class BatchDecoder:
     def decode(self, payloads: np.ndarray) -> np.ndarray:
         """payloads uint8 [S, nbytes]; nbytes may differ per call (variable
         bitrate mid-stream, state preserved)."""
-        step = self._get_step(payloads.shape[1])
         if self.device_parse:
-            self.state, pcm = step(self.state, jax.device_put(payloads))
-            self.metrics.record_decode(self.n_streams, self._frame_seconds)
+            # the stats variant also returns the concealed-frame count (a
+            # device scalar, fetched alongside the PCM) so plc_rate stays
+            # observable on the fused path
+            step = self._get_step(payloads.shape[1], stats=True)
+            self.state, pcm, n_bad = step(self.state, jax.device_put(payloads))
+            self.metrics.record_decode(
+                self.n_streams, self._frame_seconds, n_bad=int(n_bad)
+            )
             return np.asarray(pcm)
+        step = self._get_step(payloads.shape[1])
         host_frames = self._parse(payloads)
         n_bad = int(np.asarray(host_frames.bad_frame).sum())  # host-side count
         frames = jax.device_put(host_frames)
@@ -105,10 +112,27 @@ class BatchDecoder:
         if self.device_parse:
             outs = []
             for batch in payload_batches:
-                step = self._get_step(batch.shape[1])
-                self.state, pcm = step(self.state, jax.device_put(batch))
-                self.metrics.record_decode(self.n_streams, self._frame_seconds)
-                outs.append(np.asarray(pcm) if fetch else pcm)
+                if fetch:
+                    # count concealed frames on device; the int() fetch rides
+                    # the same sync as the PCM fetch
+                    step = self._get_step(batch.shape[1], stats=True)
+                    self.state, pcm, n_bad = step(
+                        self.state, jax.device_put(batch)
+                    )
+                    self.metrics.record_decode(
+                        self.n_streams, self._frame_seconds, n_bad=int(n_bad)
+                    )
+                    outs.append(np.asarray(pcm))
+                else:
+                    # fetch=False keeps dispatch fully asynchronous: fetching
+                    # a per-batch scalar would serialize the loop, so
+                    # plc_frames/plc_rate are not tracked in this mode
+                    step = self._get_step(batch.shape[1])
+                    self.state, pcm = step(self.state, jax.device_put(batch))
+                    self.metrics.record_decode(
+                        self.n_streams, self._frame_seconds
+                    )
+                    outs.append(pcm)
             if not fetch and outs:
                 jax.block_until_ready(outs[-1])
             return outs

@@ -88,6 +88,22 @@ def run_trace(kind: str, n_streams: int, steps: int, trace_dir: str) -> None:
         for _ in range(steps):
             st, out = step(st, bytes_dev)
         jax.block_until_ready((st, out))
+    elif kind == "encode_fused":
+        import functools as _ft
+
+        from lc3jax.coding.pallas_pack import encode_bytes_step
+        from lc3jax.dsp.encoder import encoder_init
+
+        pcm_b = jax.device_put(np.tile(pcm, (n_streams, 1)))
+        step = jax.jit(_ft.partial(encode_bytes_step, cfg, nbytes))
+        state = encoder_init(cfg, n_streams)
+        st, out = step(state, pcm_b)
+        jax.block_until_ready((st, out))
+        jax.profiler.start_trace(trace_dir)
+        st = state
+        for _ in range(steps):
+            st, out = step(st, pcm_b)
+        jax.block_until_ready((st, out))
     elif kind == "encode_stages":
         # per-stage attribution: jit each encoder stage standalone with real
         # intermediates and measure each under its own trace window
