@@ -282,7 +282,11 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
         spec_tuple(p)
         return 0
 
-    jax.lax.fori_loop(0, NT, spec_loop, 0)
+    # scalar dynamic bound: every lane masks tuples past its own
+    # lastnz_trunc, so the batch max (fed through SMEM at gmax[ntp]) is an
+    # exact trip count
+    maxnt_d = gmax_ref[ntp]
+    jax.lax.fori_loop(0, maxnt_d, spec_loop, 0)
 
     # ---- residual / lsb fill (bitstream_encoding.rs:328-352) --------------
     rng = st[RNG, :]
@@ -322,7 +326,10 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
         st[CNT, :] = st[CNT, :] + rank
         return 0
 
-    jax.lax.fori_loop(0, ne // 16, res_chunk, 0)
+    # residual bits only come from nonzero lines, all below lastnz_trunc
+    jax.lax.fori_loop(
+        0, jnp.minimum((maxnt_d * 2 + 15) >> 4, ne // 16), res_chunk, 0
+    )
     for line_ in range((ne // 16) * 16, ne):
         xv_ = xq_ref[line_, :]
         rb_ = res_ref[line_, :]
@@ -359,7 +366,7 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
         push(jnp.where(xk1 > 0, 0, 1), pair_on & (b_lsb == 0) & (xk1 != 0))
         return 0
 
-    jax.lax.fori_loop(0, NT, lsb_tuple, 0)
+    jax.lax.fori_loop(0, maxnt_d, lsb_tuple, 0)
 
     # ---- ac_finish (bitstream_encoding.rs:354-395) ------------------------
     rng = st[RNG, :]
@@ -417,11 +424,13 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
             clear_here = open_g > 0
         wrow = p >> 2
         sh = (p & 3) * 8
+        keep = (~(255 << sh)) & 0xFFFFFFFF
+        keep = keep - 2 ** 32 if keep >= 2 ** 31 else keep  # signed i32
         w = head_ref[wrow, :]
         cur = (w >> sh) & 255
         newb = jnp.where(inc, (cur + 1) & 255, cur)
         newb = jnp.where(clear_here, 0, newb)
-        w2 = (w & ~(255 << sh)) | (newb << sh)
+        w2 = (w & keep) | (newb << sh)
         head_ref[wrow, :] = jnp.where(inc | clear_here, w2, w)
         open_g = jnp.where(start, 1, open_g)
 
@@ -498,14 +507,22 @@ def device_pack(cfg: Lc3Config, nbytes: int, fields: dict,
         fields["residual_bits"].astype(I32), ((0, 0), (0, nep - ne))
     ).T
 
-    # per-tuple batch max of the escape-ladder depth -> SMEM scalar bounds
+    # per-tuple batch max of the escape-ladder depth -> SMEM scalar bounds;
+    # slot [ntp] carries the batch max tuple count (lastnz_trunc / 2)
     pairs = jnp.abs(xq).reshape(S, NT, 2)
     m = jnp.maximum(pairs[:, :, 0], pairs[:, :, 1])
     g = jnp.sum(
         m[:, :, None] >= jnp.asarray(4 << np.arange(14))[None, None, :], axis=2
     ).astype(I32)
     ntp = pk_rows.shape[0] // 5
-    gmax = jnp.pad(jnp.max(g, axis=0), (0, ntp - NT))
+    maxnt = jnp.minimum(
+        (jnp.max(jnp.asarray(fields["quant_lastnz_trunc"], I32)) + 1) >> 1,
+        ntp,
+    )
+    gmax = jnp.concatenate(
+        [jnp.pad(jnp.max(g, axis=0), (0, ntp - NT)),
+         jnp.full((8,), maxnt, I32)]
+    )
 
     def row(v):
         return jnp.broadcast_to(jnp.asarray(v, I32), (S,))

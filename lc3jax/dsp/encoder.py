@@ -1077,9 +1077,10 @@ def bit_consumption(p: EncoderParams, x_q, nbits: int, nbits_spec,
         go0 = go[:, :, 0]
         if emit_pack:
             est_c, pk = bitmodel_table_part(c, g, sym, rate_flag, ne,
-                                            emit_pack=True)
+                                            emit_pack=True, lastnz=lastnz)
         else:
-            est_c = bitmodel_table_part(c, g, sym, rate_flag, ne)
+            est_c = bitmodel_table_part(c, g, sym, rate_flag, ne,
+                                        lastnz=lastnz)
         out = _bit_consumption_tail(
             est_c, a0, b0, g, go0, lastnz, nbits_spec, mode_flag, rate_flag, NT
         )

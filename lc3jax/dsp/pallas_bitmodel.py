@@ -80,7 +80,7 @@ def _bitmodel_tables(rate_flag: int, emit_pack: bool = False):
     return lut24, bt.astype(np.float32)
 
 
-def _kernel(nt: int, ne4: int, lanes: int, emit_pack: bool, *refs):
+def _kernel(nt: int, ne4: int, lanes: int, emit_pack: bool, maxnt_ref, *refs):
     if emit_pack:
         lut24_ref, bitsT_ref, c_ref, g_ref, sym_ref, out_ref, pk_ref = refs
         lut24 = lut24_ref[...].astype(BF16)  # [56, 256]
@@ -92,6 +92,11 @@ def _kernel(nt: int, ne4: int, lanes: int, emit_pack: bool, *refs):
     iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, lanes), 0)
     iota64 = jax.lax.broadcasted_iota(jnp.int32, (64, lanes), 0)
     iota17 = jax.lax.broadcasted_iota(jnp.int32, (17, lanes), 0)
+    # rows beyond the batch's last coded tuple are never consumed (masked by
+    # in_range downstream) but must be defined
+    out_ref[...] = jnp.zeros((nt, lanes), F32)
+    if emit_pack:
+        pk_ref[...] = jnp.zeros((5 * nt, lanes), jnp.int32)
 
     def body(n, _):
         cv = c_ref[n, :]  # [128] int32 in [0, 256)
@@ -153,11 +158,15 @@ def _kernel(nt: int, ne4: int, lanes: int, emit_pack: bool, *refs):
             ).astype(jnp.int32)
         return 0
 
-    jax.lax.fori_loop(0, nt, body, 0)
+    # scalar dynamic bound: tuples past the batch max of lastnz contribute
+    # nothing (est is masked by in_range, pack rows are read only below
+    # lastnz_trunc), so don't walk them
+    jax.lax.fori_loop(0, maxnt_ref[0], body, 0)
 
 
 def bitmodel_table_part(c, g, sym, rate_flag: int, ne: int,
-                        interpret: bool = False, emit_pack: bool = False):
+                        interpret: bool = False, emit_pack: bool = False,
+                        lastnz=None):
     """Per-tuple table bits (escape ladder + final symbol), [S, NT] f32.
 
     c: context in [0,256); g: ladder depth; sym: final symbol in [0,16].
@@ -189,6 +198,14 @@ def bitmodel_table_part(c, g, sym, rate_flag: int, ne: int,
            and (nt_pad * 4 + 256) * 2 * lanes * 2 * 4 < 2 ** 23):
         lanes *= 2
 
+    if lastnz is None:
+        maxnt = jnp.full((8,), nt_pad, jnp.int32)
+    else:
+        maxnt = jnp.full(
+            (8,),
+            jnp.minimum((jnp.max(lastnz) + 1) >> 1, nt_pad).astype(jnp.int32),
+        )
+
     out_shape = [jax.ShapeDtypeStruct((nt_pad, S), F32)]
     out_specs = [
         pl.BlockSpec((nt_pad, lanes), lambda i: (0, i),
@@ -205,6 +222,7 @@ def bitmodel_table_part(c, g, sym, rate_flag: int, ne: int,
         out_shape=tuple(out_shape) if emit_pack else out_shape[0],
         grid=(S // lanes,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(lut24.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(bitsT.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nt_pad, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -213,7 +231,7 @@ def bitmodel_table_part(c, g, sym, rate_flag: int, ne: int,
         ],
         out_specs=tuple(out_specs) if emit_pack else out_specs[0],
         interpret=interpret,
-    )(jnp.asarray(lut24), jnp.asarray(bitsT), c.T, g.T, sym.T)
+    )(maxnt, jnp.asarray(lut24), jnp.asarray(bitsT), c.T, g.T, sym.T)
     if emit_pack:
         return outs[0][:NT].T, outs[1]
     return outs[:NT].T

@@ -93,11 +93,20 @@ class BatchDecoder:
         return np.asarray(pcm)
 
     def decode_stream(self, payload_batches, fetch: bool = True,
-                      pipeline: bool = False) -> list:
+                      pipeline: bool = False, chunk_frames: int = 0) -> list:
         """Decode an iterable of [S, nbytes] batches.
 
         pipeline=True overlaps host parsing of batch k+1 with the device DSP
         of batch k via a prefetch thread.
+
+        chunk_frames=T (device_parse mode only) groups T consecutive batches
+        into one [T, S, nbytes] dispatch through the fused frame-scan
+        (dsp.streaming.decode_bytes_frames): one dispatch + one PCM fetch
+        per chunk instead of per frame, amortising the container's expensive
+        D2H path (~180 ms/fetch over the axon tunnel caps per-frame
+        fetch=True loops at ~120x realtime; chunking recovers T x that).
+        Frame sizes must be constant within a stream when chunking. A
+        trailing partial chunk falls back to per-batch dispatch.
 
         Measured on this container (axon tunnel, S=2048/48k/150B): parse
         ~8 ms, decode DSP 0.8 ms, but the per-batch PCM fetch costs
@@ -109,6 +118,9 @@ class BatchDecoder:
 
         With device_parse=True there is no host stage to overlap: batches
         feed the fused bytes->PCM program directly (pipeline is ignored)."""
+        if self.device_parse and chunk_frames > 1:
+            return self._decode_stream_chunked(payload_batches, fetch,
+                                               chunk_frames)
         if self.device_parse:
             outs = []
             for batch in payload_batches:
@@ -192,6 +204,58 @@ class BatchDecoder:
         th.join()
         if err is not None:
             raise err
+        if not fetch and outs:
+            jax.block_until_ready(outs[-1])
+        return outs
+
+
+    def _get_chunk_step(self, nbytes: int, T: int):
+        key = ("chunk", nbytes, T)
+        if key not in self._steps:
+            from .dsp.streaming import decode_bytes_frames
+
+            self._steps[key] = jax.jit(
+                partial(decode_bytes_frames, self.cfg, nbytes)
+            )
+        return self._steps[key]
+
+    def _decode_stream_chunked(self, payload_batches, fetch: bool, T: int):
+        import numpy as _np
+
+        outs = []
+        buf: list = []
+
+        def flush(chunk):
+            if len(chunk) == T:
+                step = self._get_chunk_step(chunk[0].shape[1], T)
+                stacked = jax.device_put(_np.stack(chunk))
+                self.state, pcm = step(self.state, stacked)
+                self.metrics.record_decode(
+                    self.n_streams * T, self._frame_seconds
+                )
+                if fetch:
+                    outs.extend(_np.asarray(pcm))  # [T, S, nf] -> T arrays
+                else:
+                    outs.extend(pcm[t] for t in range(T))
+            else:  # trailing partial chunk: per-batch dispatch
+                for b in chunk:
+                    step = self._get_step(b.shape[1])
+                    self.state, pcm = step(self.state, jax.device_put(b))
+                    self.metrics.record_decode(
+                        self.n_streams, self._frame_seconds
+                    )
+                    outs.append(_np.asarray(pcm) if fetch else pcm)
+
+        for batch in payload_batches:
+            if buf and batch.shape[1] != buf[0].shape[1]:
+                flush(buf)  # nbytes changed mid-stream: close the chunk
+                buf = []
+            buf.append(batch)
+            if len(buf) == T:
+                flush(buf)
+                buf = []
+        if buf:
+            flush(buf)
         if not fetch and outs:
             jax.block_until_ready(outs[-1])
         return outs

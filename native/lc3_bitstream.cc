@@ -35,6 +35,12 @@ static int16_t g_ac_tns_order_cumfreq[2][8];
 static int16_t g_ac_tns_coef_freq[8][17];
 static int16_t g_ac_tns_coef_cumfreq[8][17];
 static int32_t g_mpvq_offsets[16][11];
+// quotient -> symbol LUT for the spectral model (64 KB, L2-resident):
+// sym_of_q[pki][q] = max val with cumfreq[val] <= q. Replaces the per-symbol
+// multiply walk-down (reference arithmetic_codec.rs:81-84) with one integer
+// division + one load — exact, since tmp*cumfreq[val] <= low iff
+// cumfreq[val] <= floor(low/tmp).
+static uint8_t g_spec_sym_of_q[64][1024];
 
 struct Reader {
   const uint8_t* buf;
@@ -179,6 +185,19 @@ struct RangeDec {
     }
     return val;
   }
+  // spectral-model fast path: branchless symbol search via the quotient LUT
+  int decode_spec(Reader& r, int pki) {
+    uint32_t tmp = range >> 10;
+    if (low >= (tmp << 10)) { error = true; return 0; }
+    int val = g_spec_sym_of_q[pki][low / tmp];
+    low -= tmp * uint32_t(g_ac_spec_cumfreq[pki][val]);
+    range = tmp * uint32_t(g_ac_spec_freq[pki][val]);
+    while (range < 0x10000) {
+      low = ((low << 8) & 0x00ffffff) + uint32_t(r.head_byte());
+      range <<= 8;
+    }
+    return val;
+  }
 };
 
 static void mpvq_deenum(int dim, int k_val, int ls_ind, uint32_t ind,
@@ -264,7 +283,7 @@ static bool parse_one(const uint8_t* buf, int nbytes, int fs_ind, int ne,
     int xk = 0, xk1 = 0, sym = 0, lev = 0;
     while (lev < 14) {
       int pki = g_ac_spec_lookup[t + std::min(lev, 3) * 1024];
-      sym = st.decode(r, g_ac_spec_cumfreq[pki], g_ac_spec_freq[pki], 17);
+      sym = st.decode_spec(r, pki);
       if (st.error || r.error) return false;
       if (sym < 16) break;
       if (!si.lsb_mode || lev > 0) {
@@ -637,6 +656,13 @@ void lc3_load_tables(const int16_t* spec_freq, const int16_t* spec_cumfreq,
   std::memcpy(g_ac_tns_coef_cumfreq, tns_coef_cumfreq,
               sizeof(g_ac_tns_coef_cumfreq));
   std::memcpy(g_mpvq_offsets, mpvq_offsets, sizeof(g_mpvq_offsets));
+  for (int pki = 0; pki < 64; pki++) {
+    int val = 0;
+    for (int q = 0; q < 1024; q++) {
+      while (val < 16 && g_ac_spec_cumfreq[pki][val + 1] <= q) val++;
+      g_spec_sym_of_q[pki][q] = uint8_t(val);
+    }
+  }
 }
 
 // Batched parse: payloads [S, nbytes] row-major. Outputs preallocated by the

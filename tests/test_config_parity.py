@@ -17,10 +17,14 @@ import pytest
 from lc3jax.config import FrameDuration, Lc3Config
 
 CASES = [
+    (8000, FrameDuration.MS10, 40),
+    (8000, FrameDuration.MS7P5, 30),  # the only 60-band geometry (config.rs:69-72)
     (16000, FrameDuration.MS10, 60),
     (16000, FrameDuration.MS7P5, 50),
     (24000, FrameDuration.MS10, 80),
     (24000, FrameDuration.MS7P5, 60),
+    (32000, FrameDuration.MS10, 100),  # attack detector active (nbytes > 80)
+    (32000, FrameDuration.MS7P5, 80),  # attack detector active (61 <= n < 150)
     (44100, FrameDuration.MS10, 120),
     (44100, FrameDuration.MS7P5, 100),
 ]
@@ -83,6 +87,59 @@ def test_encoder_parity(fs, dur, nbytes):
         got = pack_frames(cfg, {k: np.asarray(v) for k, v in fields.items()}, nbytes)[0]
         n_exact += got == want
         dec.decode_frame(16, 0, got)  # divergent frames must stay decodable
+    assert n_exact >= 0.6 * nframes, f"{n_exact}/{nframes} byte-exact"
+
+
+@pytest.mark.parametrize("dur,nbytes", [(FrameDuration.MS10, 100),
+                                        (FrameDuration.MS7P5, 80)],
+                         ids=lambda v: str(getattr(v, "value", v)))
+def test_encoder_parity_32k_attack(dur, nbytes):
+    """32 kHz with transient content loud enough to trip the attack
+    detector (attack_detector.rs:91-105): the attack-smoothing SNS branch
+    must stay byte-compatible with the oracle."""
+    from lc3jax.coding.host import pack_frames
+    from lc3jax.dsp import encoder as E
+    from lc3jax.dsp.encoder import encode_step, encoder_init
+    from lc3jax.ref.decoder import Lc3Decoder
+    from lc3jax.ref.encoder import Lc3Encoder
+
+    cfg = Lc3Config.new(32000, dur)
+    nframes = 12
+    rng = np.random.default_rng(21)
+    sig = rng.normal(0, 150, nframes * cfg.nf)
+    # click train: silence -> full-scale bursts, the attack detector's
+    # canonical trigger
+    for k in range(2, nframes, 3):
+        pos = k * cfg.nf + cfg.nf // 3
+        sig[pos : pos + 40] = 30000.0
+    sig = np.clip(sig, -32768, 32767).astype(np.int16)
+
+    # confirm the content actually trips the batched attack detector
+    import dataclasses
+
+    p = E.encoder_params(cfg)
+    st = encoder_init(cfg, 1)
+    fired = 0
+    for f in range(nframes):
+        frame = sig[f * cfg.nf : (f + 1) * cfg.nf]
+        attack, att_state = E.attack_detect(p, st, frame[None], nbytes)
+        st = dataclasses.replace(st, **att_state)
+        fired += int(np.asarray(attack)[0])
+    assert fired >= 1, "click train failed to trip the attack detector"
+
+    enc = Lc3Encoder(1, cfg.n_ms, cfg.fs)
+    dec = Lc3Decoder(1, cfg.n_ms, cfg.fs)
+    state = encoder_init(cfg, 1)
+    step = jax.jit(partial(encode_step, cfg, nbytes))
+    n_exact = 0
+    for f in range(nframes):
+        frame = sig[f * cfg.nf : (f + 1) * cfg.nf]
+        want = bytes(enc.encode_frame(0, frame, nbytes))
+        state, fields = step(state, frame[None])
+        got = pack_frames(cfg, {k: np.asarray(v) for k, v in fields.items()},
+                          nbytes)[0]
+        n_exact += got == want
+        dec.decode_frame(16, 0, got)
     assert n_exact >= 0.6 * nframes, f"{n_exact}/{nframes} byte-exact"
 
 

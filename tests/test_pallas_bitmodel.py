@@ -46,8 +46,8 @@ def test_bitmodel_pallas_matches_xla(nbits):
 
     orig = PB.bitmodel_table_part
 
-    def interp(c, g, sym, rate_flag, ne, interpret=False):
-        return orig(c, g, sym, rate_flag, ne, interpret=True)
+    def interp(c, g, sym, rate_flag, ne, interpret=False, **kw):
+        return orig(c, g, sym, rate_flag, ne, interpret=True, **kw)
 
     # S=8 is not a multiple of 128: pad streams like the production caller
     pad = 128 - S
@@ -82,8 +82,8 @@ def test_bitmodel_pallas_odd_tuple_count():
                             use_pallas=False)
     orig = PB.bitmodel_table_part
 
-    def interp(c, g, sym, rate_flag, ne, interpret=False):
-        return orig(c, g, sym, rate_flag, ne, interpret=True)
+    def interp(c, g, sym, rate_flag, ne, interpret=False, **kw):
+        return orig(c, g, sym, rate_flag, ne, interpret=True, **kw)
 
     with mock.patch.object(PB, "bitmodel_table_part", interp):
         got = E.bit_consumption(p, jnp.asarray(x_q), 320,

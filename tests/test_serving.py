@@ -106,3 +106,23 @@ def test_device_parse_decode_stream():
     for f in range(nframes):
         assert np.abs(outs_a[f].astype(int) - outs_b[f].astype(int)).max() <= 1
     assert b.metrics.frames_decoded == S * nframes
+
+
+def test_device_parse_decode_stream_chunked():
+    """chunk_frames=T must match the per-batch fused loop exactly (same
+    decode_bytes_step scanned over the frame axis), including a trailing
+    partial chunk."""
+    S, nbytes, nframes = 128, 80, 5
+    sig = _signal(nframes, 660)
+    enc = BatchEncoder(CFG48, S, nbytes)
+    batches = []
+    for f in range(nframes):
+        batches.append(enc.encode(np.tile(sig[f * 480 : (f + 1) * 480], (S, 1))))
+    a = BatchDecoder(CFG48, S, nbytes, device_parse=True)
+    b = BatchDecoder(CFG48, S, nbytes, device_parse=True)
+    outs_a = a.decode_stream(iter(batches), fetch=False)
+    outs_b = b.decode_stream(iter(batches), chunk_frames=2)  # 2+2+1 partial
+    assert len(outs_b) == nframes
+    for f in range(nframes):
+        assert np.array_equal(np.asarray(outs_a[f]), outs_b[f])
+    assert b.metrics.frames_decoded == S * nframes
