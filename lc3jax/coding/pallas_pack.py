@@ -495,6 +495,12 @@ def device_pack(cfg: Lc3Config, nbytes: int, fields: dict,
     bit-model pass."""
     ne = cfg.ne
     NT = ne // 2
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        raise NotImplementedError(
+            "device_pack is a TPU (Mosaic) kernel with no CPU formulation; "
+            "use interpret=True (tests) or the host packers "
+            "(coding.host.pack_frames / coding.native.pack_frames_native)"
+        )
     xq = fields["x_q"].astype(I32)
     S = xq.shape[0]
     assert S % 128 == 0, "pad the stream axis to a multiple of 128"

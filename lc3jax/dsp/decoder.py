@@ -330,6 +330,7 @@ def decode_step(
     cfg: Lc3Config, nbits: int, state: DecoderState, frames: ParsedFrames,
     use_pallas: bool | None = None,
     ltpf_use_pallas: bool = False,
+    debug_taps: bool = False,
 ) -> tuple[DecoderState, jax.Array]:
     """One batched frame: parsed fields [S, ...] -> (state, pcm int16 [S, nf]).
 
@@ -359,6 +360,7 @@ def decode_step(
                       frames.sns_ind_lf, frames.sns_ind_hf)
     x, state = plc_step(p, x, state, frames.bad_frame)
     t, new_mem = imdct_ola(p, x, state.mem_ola)
+    t_pre = t
     # LTPF stays on the lax.scan + funnel path by default: the Pallas LTPF
     # kernel (pallas_ltpf.py) is bit-compatible and fixes the VMEM spill at
     # S >= 8192, but its compile is slow and not served from the persistent
@@ -381,6 +383,10 @@ def decode_step(
         plc_lost=state.plc_lost,
         ltpf=new_ltpf,
     )
+    if debug_taps:
+        # stage-attribution taps matching ref.decoder's: spectral lines after
+        # SNS/PLC, time signal after IMDCT+OLA but before LTPF
+        return new_state, (pcm, {"x_spec": x, "t_pre_ltpf": t_pre})
     return new_state, pcm
 
 

@@ -57,9 +57,11 @@ def _seq_fold(x, axis: int):
 class EncoderParams:
     cfg: Lc3Config
     dct: np.ndarray
+    dct_lo: np.ndarray  # f32 residue of the f64 DCT basis (split precision)
     window: np.ndarray
     mdct_gain: np.float32
-    energy_mat: np.ndarray  # [ne, nb] 1/width indicators
+    energy_mat: np.ndarray  # [ne, nb] 0/1 indicators
+    band_width: np.ndarray  # [nb] line counts per band
     nn_split: int  # near-nyquist band split
     preemph: np.ndarray  # [64]
     group_mat: np.ndarray  # [64, 16] 6-tap grouping weights
@@ -81,9 +83,14 @@ class EncoderParams:
 def encoder_params(cfg: Lc3Config) -> EncoderParams:
     idx = T.band_indices(cfg)
     emat = np.zeros((cfg.ne, cfg.nb), dtype=np.float32)
+    bwidth = np.zeros(cfg.nb, dtype=np.float32)
     bol = np.zeros(cfg.ne, dtype=np.int32)
     for b in range(cfg.nb):
-        emat[idx[b] : idx[b + 1], b] = 1.0 / (idx[b + 1] - idx[b])
+        # 0/1 indicators: the per-band sum divides by the width ONCE after
+        # accumulating, like the reference (modified_dct.rs:140-152) — a
+        # baked 1/width factor rounds every term and costs knife-edge parity
+        emat[idx[b] : idx[b + 1], b] = 1.0
+        bwidth[b] = idx[b + 1] - idx[b]
         bol[idx[b] : idx[b + 1]] = b
 
     # pre-emphasis with the reference's exact f32 powf semantics
@@ -151,12 +158,25 @@ def encoder_params(cfg: Lc3Config) -> EncoderParams:
         nf_start, nf_width = 18, 2
         attack_blocks, attack_lim, num_ds = 3, 1, 120
 
+    # split-precision DCT basis: hi = f32 rounding of the f64 matrix, lo =
+    # the f32-representable residue; folded@hi + folded@lo recovers most of
+    # the matrix-rounding ulp the single-matmul formulation loses, pulling
+    # the batched MDCT closer to the oracle's f64-twiddle FFT at the
+    # quantizer's knife edges (spectral_quantization.rs:230-263)
+    n_ = np.arange(cfg.nf)[:, None].astype(np.float64)
+    k_ = np.arange(cfg.nf)[None, :].astype(np.float64)
+    dct64 = 2.0 * np.cos(np.pi / cfg.nf * (n_ + 0.5) * (k_ + 0.5))
+    dct_hi = dct64.astype(np.float32)
+    dct_lo = (dct64 - dct_hi.astype(np.float64)).astype(np.float32)
+
     return EncoderParams(
         cfg=cfg,
-        dct=dct_iv_matrix(cfg.nf),
+        dct=dct_hi,
+        dct_lo=dct_lo,
         window=T.mdct_window(cfg).copy(),
         mdct_gain=np.float32(1.0 / np.sqrt(2.0 * cfg.nf)),
         energy_mat=emat,
+        band_width=bwidth,
         nn_split=nn_split,
         preemph=preemph,
         group_mat=gmat.astype(np.float32),
@@ -237,6 +257,9 @@ def forward_mdct(p: EncoderParams, time_buf, x_s):
     spec = jnp.einsum(
         "sn,nk->sk", folded, jnp.asarray(p.dct),
         preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST,
+    ) + jnp.einsum(
+        "sn,nk->sk", folded, jnp.asarray(p.dct_lo),
+        preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST,
     )
     spec = spec * p.mdct_gain
 
@@ -244,7 +267,7 @@ def forward_mdct(p: EncoderParams, time_buf, x_s):
     energy = jnp.einsum(
         "sn,nb->sb", x * x, jnp.asarray(p.energy_mat),
         preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST,
-    )
+    ) / jnp.asarray(p.band_width)[None, :]
     if p.cfg.fs <= 32000:
         lower = jnp.sum(energy[:, : p.nn_split], axis=1)
         upper = jnp.sum(energy[:, p.nn_split :], axis=1)
@@ -581,9 +604,15 @@ def _sns_finish(p: EncoderParams, x, st1, ind_lf, ind_hf, t2rot, d,
         axis=1,
     )
     if nb < 64:
+        # 8 kHz/7.5 ms narrow-band reduction. NOTE the reference ENCODER's
+        # quirk (spectral_noise_shaping.rs:185-201): bands diff..nb-1 are all
+        # set to the ORIGINAL interpolated[diff+1] — `energy_bands[i] =
+        # energy_bands[diff + 1]`, a constant — unlike the decoder, which
+        # shifts (`[i + n2]`, decoder/spectral_noise_shaping.rs:100-111).
+        # Byte-parity requires mirroring the quirk, not symmetrizing it.
         n2 = 64 - nb
         head = (interp[:, 0 : 2 * n2 : 2] + interp[:, 1 : 2 * n2 : 2]) / F32(2.0)
-        tail = interp[:, 2 * n2 : n2 + nb]
+        tail = jnp.broadcast_to(interp[:, n2 + 1 : n2 + 2], (S, nb - n2))
         interp = jnp.concatenate([head, tail], axis=1)
     else:
         interp = interp[:, :nb]

@@ -145,3 +145,53 @@ def sharded_decoder_init(cfg: Lc3Config, n_streams: int, mesh: Mesh) -> DecoderS
 
 def sharded_encoder_init(cfg: Lc3Config, n_streams: int, mesh: Mesh) -> EncoderState:
     return shard_streams(mesh, encoder_init(cfg, n_streams))
+
+
+# ----------------------------------------------------------- multi-host/DCN
+
+
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> None:
+    """Initialize the multi-process JAX runtime for multi-slice scale-out.
+
+    SURVEY.md section 2.5: the codec math needs no collectives, so DCN is
+    used purely to widen the stream axis across hosts/slices — each process
+    feeds its local chips' stream shard, and the global mesh is 1-D over
+    every device of every process. On Cloud TPU pods the arguments are
+    auto-detected from the environment; pass them explicitly elsewhere
+    (coordinator "host:port", the process count, and this process's index).
+
+    Call once per process, before any other lc3jax/parallel use.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def multihost_stream_mesh() -> Mesh:
+    """1-D stream mesh over EVERY device of every initialized process
+    (ICI within a slice, DCN across slices — no collectives ride it)."""
+    return Mesh(np.array(jax.devices()), axis_names=("streams",))
+
+
+def multihost_shard_streams(mesh: Mesh, tree, axis: int = 0):
+    """Assemble globally-sharded arrays from per-process local data.
+
+    Each process passes the [S_local, ...] slab produced by its own host
+    IO; the result is the [S_global, ...] jax.Array addressable by the
+    sharded step functions above. Single-process meshes degrade to
+    shard_streams.
+    """
+    if jax.process_count() == 1:
+        return shard_streams(mesh, tree, axis)
+    sh = _sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        tree,
+    )

@@ -26,6 +26,10 @@ class _Channel:
         self.plc = stages.PacketLossConcealment(cfg.ne)
         self.imdct = InverseMdct(cfg)
         self.ltpf = LongTermPostFilter(cfg)
+        # stage-attribution taps (tools/tpu_parity.py --stages): when set,
+        # each decode stores {"x_spec", "t_pre_ltpf"} in .taps
+        self.debug_taps = False
+        self.taps: dict | None = None
 
     def decode(self, buf_in: bytes) -> np.ndarray:
         cfg = self.cfg
@@ -58,6 +62,8 @@ class _Channel:
             ltpf_info = LtpfInfo(pitch_present=False, is_active=False, pitch_index=0)
 
         t = self.imdct.run(x)
+        if self.debug_taps:
+            self.taps = {"x_spec": x.copy(), "t_pre_ltpf": t.copy()}
         t = self.ltpf.run(ltpf_info, nbits, t)
         return stages.output_scaling(t)
 

@@ -33,8 +33,21 @@ def test_encode_golden_frame_byte_exact(goldens):
     assert outs[0] == exp and outs[1] == exp
 
 
-@pytest.mark.parametrize("nbytes,min_exact", [(40, 0.98), (80, 0.92), (150, 0.86)])
+@pytest.mark.parametrize("nbytes,min_exact", [(40, 0.98), (80, 0.94), (150, 0.86)])
 def test_encode_parity_and_decodability(nbytes, min_exact):
+    """Byte-exact rate floors are measured-minus-margin (split-precision
+    DCT basis + oracle-order band energies, measured 50/47/43 of 50).
+
+    The residue at 150 B was root-caused (round 3): every divergent frame
+    differs from the oracle ONLY by 1-2 isolated spectral lines quantized
+    +-1 across the 0.375 offset (and the residual/noise-seed bits that
+    follow from them) — never by a structural decision (gain index, SNS,
+    TNS, bandwidth all agree). That is the irreducible ulp gap between the
+    dense-matmul MDCT and the oracle's FFT ordering hitting
+    spectral_quantization.rs:230-263's knife edge, and it is asserted
+    below as an invariant rather than left as a rate."""
+    from lc3jax.coding.host import parse_frames
+
     nframes = 10
     rng = np.random.default_rng(3)
     t = np.arange(nframes * 480) / 48000
@@ -57,7 +70,22 @@ def test_encode_parity_and_decodability(nbytes, min_exact):
         outs = pack_frames(CFG48, fields, nbytes)
         for s in range(S):
             ref = bytes(encs[s].encode_frame(0, batch[s], nbytes))
-            n_exact += outs[s] == ref
+            if outs[s] == ref:
+                n_exact += 1
+            else:
+                # knife-edge invariant: only isolated +-1 spectral flips
+                pa = parse_frames(CFG48, [outs[s]])
+                pb = parse_frames(CFG48, [ref])
+                da = np.asarray(pa.x_int[0]).astype(int)
+                db = np.asarray(pb.x_int[0]).astype(int)
+                flips = np.abs(da - db)
+                assert flips.max() <= 1 and (flips != 0).sum() <= 4, (f, s)
+                for key in ("gg_ind", "bandwidth", "sns_gind", "sns_shape",
+                            "rc_order", "rc_i", "sns_ind_lf", "sns_ind_hf"):
+                    np.testing.assert_array_equal(
+                        np.asarray(getattr(pa, key)),
+                        np.asarray(getattr(pb, key)), err_msg=(key, f, s),
+                    )
             decs[s].decode_frame(16, 0, outs[s])  # must not raise
     assert n_exact >= min_exact * S * nframes
 

@@ -113,6 +113,67 @@ def test_sharded_decode_frames_scan():
     assert (d > 0).mean() < 0.01
 
 
+def test_sharded_encode_frames_scan():
+    """[T, S, nf] PCM through the sharded frame-axis encode scan, compared
+    against the unsharded scan. The SPMD partitioner may fuse the float
+    analysis differently, and a single-ulp difference can flip a TNS
+    prediction-gain or quantizer knife edge for a stream (observed even
+    between the stepwise and scan programs on one device) — so require
+    exact integer agreement on the overwhelming majority of streams and a
+    decodable payload for every stream."""
+    from lc3jax.coding.host import pack_frames
+    from lc3jax.dsp.streaming import encode_frames
+    from lc3jax.parallel import make_sharded_encode_frames
+    from lc3jax.ref.decoder import Lc3Decoder
+
+    mesh = _mesh()
+    T, S = 3, 16
+    t = np.arange(T * 480) / 48000
+    sigs = np.stack([
+        (6000 * np.sin(2 * np.pi * (180 + 23 * s) * t)).astype(np.int16)
+        for s in range(S)
+    ])  # [S, T*nf]
+    pcm_t = np.stack([sigs[:, f * 480 : (f + 1) * 480] for f in range(T)])
+
+    st8 = sharded_encoder_init(CFG48, S, mesh)
+    run = make_sharded_encode_frames(CFG48, NBYTES, mesh)
+    st8, f8 = run(st8, shard_streams(mesh, pcm_t, axis=1))
+    assert f8["x_q"].shape == (T, S, CFG48.ne)
+    assert "streams" in str(f8["x_q"].sharding)
+
+    st1 = encoder_init(CFG48, S)
+    st1, f1 = jax.jit(lambda s, x: encode_frames(CFG48, NBYTES, s, x))(
+        st1, pcm_t
+    )
+    int_keys = [k for k in f1 if np.asarray(f1[k]).dtype.kind in "iub"]
+    exact = np.ones(S, bool)
+    for k in int_keys:
+        a, b = np.asarray(f1[k]), np.asarray(f8[k])
+        if a.ndim >= 2:  # [T, S, ...]
+            exact &= (a == b).reshape(T, S, -1).all(axis=(0, 2))
+    assert exact.mean() >= 0.8, f"only {int(exact.sum())}/{S} streams exact"
+
+    dec = Lc3Decoder(1, FrameDuration.MS10, 48000)
+    for f in range(T):
+        fields_f = {k: np.asarray(v)[f] for k, v in f8.items()}
+        for payload in pack_frames(CFG48, fields_f, NBYTES):
+            dec.decode_frame(16, 0, payload)  # must stay decodable
+
+
+def test_multihost_helpers_single_process():
+    """The multi-host entry points must degrade cleanly to one process:
+    multihost_stream_mesh covers all local devices and
+    multihost_shard_streams lands data identically to shard_streams."""
+    from lc3jax.parallel import multihost_shard_streams, multihost_stream_mesh
+
+    mesh = multihost_stream_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    x = np.arange(mesh.devices.size * 4, dtype=np.float32).reshape(-1, 4)
+    arr = multihost_shard_streams(mesh, x)
+    assert "streams" in str(arr.sharding)
+    np.testing.assert_array_equal(np.asarray(arr), x)
+
+
 def test_sharded_fused_bytes_step():
     """The fully fused bytes->PCM program sharded over the mesh (the
     multi-chip serving shape): must match the unsharded fused step."""

@@ -135,10 +135,56 @@ def main() -> None:
         b = np.asarray(getattr(dev_pf, fld.name))
         fuzz_ok = fuzz_ok and np.array_equal(a[~badm], b[~badm])
 
+    # ---- per-stage attribution of the decode LSB plateau: tap the DSP at
+    # the spectral output (post SNS/PLC) and post-IMDCT/pre-LTPF, on-chip
+    # and in the oracle, to locate where the fma-contraction drift enters
+    from lc3jax.dsp.decoder import decode_step
+
+    host_pf = native.parse_frames_native(cfg, payloads)  # leading axis T
+    pf_t = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.repeat(np.asarray(a)[:, None], S, axis=1)),
+        host_pf,
+    )
+    st2 = decoder_init(cfg, S)
+
+    @jax.jit
+    def decode_taps(st, fr):
+        return jax.lax.scan(
+            partial(decode_step, cfg, nbytes * 8, debug_taps=True), st, fr
+        )
+
+    _, (pcm2, taps) = decode_taps(st2, pf_t)
+    xs_dev = np.asarray(taps["x_spec"])[:, 0]  # [T, ne]
+    tp_dev = np.asarray(taps["t_pre_ltpf"])[:, 0]  # [T, nf]
+    dec_o = Lc3Decoder(1, cfg.n_ms, cfg.fs)
+    dec_o.channels[0].debug_taps = True
+    xs_err = tp_err = 0.0
+    for f in range(T):
+        dec_o.decode_frame(16, 0, bytes(payloads[f]))
+        o = dec_o.channels[0].taps
+        xs_err = max(xs_err, float(np.abs(xs_dev[f] - o["x_spec"]).max()))
+        tp_err = max(tp_err, float(np.abs(tp_dev[f] - o["t_pre_ltpf"]).max()))
+    final_lsb2 = int(
+        np.abs(np.asarray(pcm2)[:, 0].astype(int) - pcm_out.astype(int)).max()
+    )
+    stage_attr = {
+        "spectral_max_abs_err": round(xs_err, 6),
+        "pre_ltpf_max_abs_err_pcm_units": round(tp_err, 4),
+        "final_max_lsb": final_lsb2,
+        "note": (
+            "spectral drift is ulp-level; the pre-LTPF error (IMDCT matmul "
+            "fma + OLA feedback) vs the final LSB shows how much the LTPF "
+            "history recirculation amplifies it — the envelope (16 LSB) "
+            "rests on the pre-LTPF error staying O(1 LSB) with LTPF "
+            "amplification bounded by its gain < 1"
+        ),
+    }
+
     result = {
         "device": str(jax.devices()[0]),
         "frames": T,
         "decode_max_lsb_vs_oracle": max_lsb,
+        "stage_attribution": stage_attr,
         "encode_byte_exact_rate": round(n_exact / T, 3),
         "device_pack_byte_exact_rate": round(n_pack_exact / T, 3),
         "device_parse_fuzz_2048": bool(fuzz_ok),
@@ -192,9 +238,11 @@ def main() -> None:
             pcm2 = jnp.asarray(np.stack(
                 [np.clip(22000 * rng2.standard_normal(c.nf), -32768, 32767)
                  .astype(np.int16)] * Sf))
-            _, flds = jax.jit(partial(encode_step, c, nb_))(est2, pcm2)
-            want2 = _pack_host(c, {k: np.asarray(v) for k, v in flds.items()},
-                               nb_)
+            _, flds = jax.jit(
+                partial(encode_step, c, nb_, emit_pack=True)
+            )(est2, pcm2)
+            want2 = _pack_host(c, {k: np.asarray(v) for k, v in flds.items()
+                                   if k != "quant_pack_tables"}, nb_)
             got2 = np.asarray(jax.jit(partial(device_pack, c, nb_))(flds))
             kok = all(bytes(got2[s2]) == want2[s2] for s2 in range(Sf))
             key = f"{fs_}_{dur_.value}_{nb_}B"
