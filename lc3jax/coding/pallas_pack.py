@@ -188,10 +188,11 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
     write_uint_back(noise_factor, 3, on)
 
     # ---- arithmetic coder (optimistic emission) ---------------------------
-    def ac_shift(do):
-        """Reference ac_shift (bitstream_encoding.rs:397-415) with the
-        cache/drain machinery replaced by an unconditional slot write at BP
-        plus carried-group marks for the end-of-frame fix-up pass."""
+    def shift_state(do):
+        """Reference ac_shift (bitstream_encoding.rs:397-415) minus the
+        byte write: the cache/drain machinery is replaced by carried-group
+        marks for the end-of-frame fix-up pass. Returns (byte, pos) for the
+        caller to emit (callers batch consecutive slots into one write)."""
         low = st[LOW, :]
         carry = st[CARRY, :]
         flush = do & ((low < 0x00FF0000) | (carry == 1))
@@ -202,12 +203,30 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
         mark(ms, st[RSTART, :], markc)
         mark(me, st[BP, :], markc)
         st[HL0, :] = st[HL0, :] | jnp.where(markc & (st[HASC, :] == 0), 1, 0)
-        write_byte_at(low >> 16, st[BP, :], do)
-        st[RSTART, :] = jnp.where(flush, st[BP, :], st[RSTART, :])
+        pos = st[BP, :]
+        st[RSTART, :] = jnp.where(flush, pos, st[RSTART, :])
         st[HASC, :] = jnp.where(flush, 1, st[HASC, :])
         st[CARRY, :] = jnp.where(flush, 0, carry)
-        st[BP, :] = st[BP, :] + jnp.where(do, 1, 0)
+        st[BP, :] = pos + jnp.where(do, 1, 0)
         st[LOW, :] = jnp.where(do, (low << 8) & 0x00FFFFFF, low)
+        return low >> 16, pos
+
+    def ac_shift(do):
+        byte, pos = shift_state(do)
+        write_byte_at(byte, pos, do)
+
+    def write_u16_at(v16, pos, do):
+        """Two consecutive bytes as one (possibly word-spanning) OR."""
+        wi = pos >> 2
+        sh = (pos & 3) * 8
+        lo = v16 << sh  # int32 wrap keeps the low word's bits
+        hi = jnp.where(sh == 0, 0, (v16 >> 1) >> (31 - sh))
+        upd = jnp.where(
+            (iotaw == wi[None, :]) & do[None, :], lo[None, :], 0
+        ) | jnp.where(
+            (iotaw == wi[None, :] + 1) & do[None, :], hi[None, :], 0
+        )
+        head_ref[...] = head_ref[...] | upd
 
     def ac_encode(cum_v, frq_v, do):
         r = st[RNG, :] >> 10
@@ -215,10 +234,16 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
         st[CARRY, :] = jnp.where(do & ((low >> 24) != 0), 1, st[CARRY, :])
         st[LOW, :] = low & 0x00FFFFFF
         st[RNG, :] = jnp.where(do, r * frq_v, st[RNG, :])
-        for _ in range(2):  # range >= 64 after one multiply: <= 2 renorms
-            need = do & (st[RNG, :] < 0x10000)
-            st[RNG, :] = jnp.where(need, st[RNG, :] << 8, st[RNG, :])
-            ac_shift(need)
+        # range >= 64 after one multiply: <= 2 renorms; need2 implies need1,
+        # so the two slot bytes are consecutive and emit as one 16-bit write
+        need1 = do & (st[RNG, :] < 0x10000)
+        st[RNG, :] = jnp.where(need1, st[RNG, :] << 8, st[RNG, :])
+        d1, pos1 = shift_state(need1)
+        need2 = do & (st[RNG, :] < 0x10000)
+        st[RNG, :] = jnp.where(need2, st[RNG, :] << 8, st[RNG, :])
+        d2, _ = shift_state(need2)
+        v16 = jnp.where(need1, d1 & 255, 0) | jnp.where(need2, (d2 & 255) << 8, 0)
+        write_u16_at(v16, pos1, need1)
 
     # ---- TNS data (bitstream_encoding.rs:224-244) -------------------------
     for f in range(2):
@@ -366,7 +391,9 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
         push(jnp.where(xk1 > 0, 0, 1), pair_on & (b_lsb == 0) & (xk1 != 0))
         return 0
 
-    jax.lax.fori_loop(0, maxnt_d, lsb_tuple, 0)
+    # gmax[ntp+1] is 0 when no lane in the batch is in lsb_mode: the whole
+    # replay loop drops out
+    jax.lax.fori_loop(0, gmax_ref[ntp + 1], lsb_tuple, 0)
 
     # ---- ac_finish (bitstream_encoding.rs:354-395) ------------------------
     rng = st[RNG, :]
@@ -525,9 +552,13 @@ def device_pack(cfg: Lc3Config, nbytes: int, fields: dict,
         (jnp.max(jnp.asarray(fields["quant_lastnz_trunc"], I32)) + 1) >> 1,
         ntp,
     )
+    lsb_bound = jnp.where(
+        jnp.any(jnp.asarray(fields["quant_lsb_mode"], bool)), maxnt, 0
+    )
     gmax = jnp.concatenate(
         [jnp.pad(jnp.max(g, axis=0), (0, ntp - NT)),
-         jnp.full((8,), maxnt, I32)]
+         maxnt[None], lsb_bound[None].astype(I32),
+         jnp.zeros((6,), I32)]
     )
 
     def row(v):

@@ -420,7 +420,16 @@ def sns_analysis(p: EncoderParams, x, e_b, attack, use_pallas: bool | None = Non
     d_hf = _seq_fold((scf[:, None, 8:] - hf[None, :, :]) ** 2, 2)
     ind_lf = jnp.argmin(d_lf, axis=1)
     ind_hf = jnp.argmin(d_hf, axis=1)
-    st1 = jnp.concatenate([lf[ind_lf], hf[ind_hf]], axis=1)
+    # codebook rows via 32-way masked sums (per-stream gathers serialize)
+    st1_lf = sum(
+        jnp.where((ind_lf == i)[:, None], lf[i][None, :], F32(0.0))
+        for i in range(32)
+    )
+    st1_hf = sum(
+        jnp.where((ind_hf == i)[:, None], hf[i][None, :], F32(0.0))
+        for i in range(32)
+    )
+    st1 = jnp.concatenate([st1_lf, st1_hf], axis=1)
     r1 = scf - st1
 
     # ---- stage 2: rotate, PVQ pyramid, shape/gain select, enumerate
@@ -632,14 +641,18 @@ def _mpvq_enum_batch(y, dims):
 
     y [S,16] signed pulses, dims [S] in {6,10,16}: processes positions
     dim-1..0 per stream; masked so shorter dims skip high positions.
+
+    Gather-free: the reference's row counter n is static per (dims, pos)
+    (n = dims-1 at pos 0, dims-pos otherwise), so the MPVQ_OFFSETS fetch is
+    a static row per dims case selected by an 11-way masked sum over k_acc
+    — a per-stream [S] 2D table gather here cost ~20 ns/element on TPU.
     """
     S = y.shape[0]
-    offsets = jnp.asarray(T.MPVQ_OFFSETS, jnp.int32)  # [16,11]
+    offsets_np = np.asarray(T.MPVQ_OFFSETS, np.int64)  # [16,11]
     index = jnp.zeros(S, jnp.int32)
     next_sign = jnp.full(S, -1, jnp.int32)  # -1 encodes "unset"
     k_acc = jnp.zeros(S, jnp.int32)
     tmp_h = jnp.zeros(S, jnp.int32)  # MPVQ_OFFSETS[0][0] == 0
-    n = jnp.zeros(S, jnp.int32)
     for pos in range(15, -1, -1):
         in_range = pos < dims
         val = y[:, pos]
@@ -650,10 +663,18 @@ def _mpvq_enum_batch(y, dims):
         )
         index = jnp.where(in_range, index + tmp_h, index)
         k_acc = jnp.where(in_range, k_acc + jnp.abs(val), k_acc)
-        n = jnp.where(in_range & (pos != 0), n + 1, n)
-        tmp_h = jnp.where(
-            in_range, offsets[jnp.clip(n, 0, 15), jnp.clip(k_acc, 0, 10)], tmp_h
-        )
+
+        def nrow(d: int) -> int:
+            return d - 1 if pos == 0 else d - pos
+        rows = {d: offsets_np[min(max(nrow(d), 0), 15)]
+                for d in (6, 10, 16) if pos < d}
+        new_h = jnp.zeros(S, jnp.int32)
+        for j in range(11):
+            vj = sum(
+                jnp.where(dims == d, int(rows[d][j]), 0) for d in rows
+            ) + jnp.zeros(S, jnp.int32)
+            new_h = new_h + jnp.where(jnp.minimum(k_acc, 10) == j, vj, 0)
+        tmp_h = jnp.where(in_range, new_h, tmp_h)
     ls = jnp.maximum(next_sign, 0)
     return index, ls
 
@@ -676,8 +697,17 @@ def tns_analysis_batch(p: EncoderParams, x, bw_ind, nbits: int, near_nyquist,
     else:
         lpc_weighting = 1 if nbits < 360 else 0
 
-    sub = jnp.asarray(p.tns_sub, jnp.int32)[bw_ind]  # [S,2,3,2]
-    bounds = jnp.asarray(p.tns_bounds, jnp.int32)[bw_ind]  # [S,2,2]
+    # 5-way masked sums over the static per-bandwidth tables (gather-free)
+    sub = sum(
+        jnp.where((bw_ind == c)[:, None, None, None],
+                  jnp.asarray(p.tns_sub[c], jnp.int32)[None], 0)
+        for c in range(5)
+    )  # [S,2,3,2]
+    bounds = sum(
+        jnp.where((bw_ind == c)[:, None, None],
+                  jnp.asarray(p.tns_bounds[c], jnp.int32)[None], 0)
+        for c in range(5)
+    )  # [S,2,2]
     num_filters = jnp.where(bw_ind >= 3, 2, 1)
 
     lagw = jnp.asarray(
@@ -775,7 +805,12 @@ def tns_analysis_batch(p: EncoderParams, x, bw_ind, nbits: int, near_nyquist,
         qi = jnp.where(q >= 0.0, (q + F32(0.5)).astype(jnp.int32), -((-q + F32(0.5)).astype(jnp.int32)))
         rci_f = qi + 8
         sin_tab = np.sin(np.pi / 17.0 * (np.arange(17, dtype=np.float64) - 8.0)).astype(np.float32)
-        rcq_f = jnp.asarray(sin_tab)[jnp.clip(rci_f, 0, 16)]
+        rci_c = jnp.clip(rci_f, 0, 16)
+        # 17-way masked sum instead of a per-stream gather
+        rcq_f = sum(
+            jnp.where(rci_c == v, F32(float(sin_tab[v])), F32(0.0))
+            for v in range(17)
+        )
 
         # order: highest k with rci != 8
         nz = rci_f != 8
@@ -787,15 +822,21 @@ def tns_analysis_batch(p: EncoderParams, x, bw_ind, nbits: int, near_nyquist,
         rc_q = rc_q.at[:, f * 8 : f * 8 + 8].set(jnp.where(filter_exists[:, None], rcq_f, 0.0))
         rc_order = rc_order.at[:, f].set(jnp.where(filter_exists, order, 0))
 
-    # bit budget
-    order_bits = jnp.asarray(T.AC_TNS_ORDER_BITS, jnp.int32)[lpc_weighting]  # [8]
-    coef_bits = jnp.asarray(T.AC_TNS_COEF_BITS, jnp.int32)  # [8,17]
+    # bit budget (table fetches as masked sums, not per-stream gathers)
+    order_bits_np = np.asarray(T.AC_TNS_ORDER_BITS)[lpc_weighting]  # [8]
+    coef_bits_np = np.asarray(T.AC_TNS_COEF_BITS)  # [8,17]
     nbits_tns = jnp.zeros(S, jnp.int32)
     for f in range(2):
         o = rc_order[:, f]
-        nb_order = jnp.where(o > 0, order_bits[jnp.clip(o - 1, 0, 7)], 0)
+        nb_order = sum(
+            jnp.where(o == v + 1, int(order_bits_np[v]), 0) for v in range(8)
+        ) + jnp.zeros(S, jnp.int32)
         ks = jnp.arange(8)
-        per_k = coef_bits[ks[None, :], rc_i[:, f * 8 : f * 8 + 8]]
+        rci_blk = rc_i[:, f * 8 : f * 8 + 8]
+        per_k = sum(
+            jnp.where(rci_blk == v, jnp.asarray(coef_bits_np[:, v], jnp.int32)[None, :], 0)
+            for v in range(17)
+        )
         nb_coef = jnp.sum(jnp.where(ks[None, :] < o[:, None], per_k, 0), axis=1)
         add = jnp.ceil(
             (F32(2048.0) + nb_order.astype(F32) + nb_coef.astype(F32)) / F32(2048.0)
@@ -976,7 +1017,12 @@ def spectral_quantize(p: EncoderParams, state: EncoderState, x_f, nbits: int,
     gg_ind = jnp.where(reset_offset, gg_min, gg_ind)
 
     def quant_only(gg_ind):
-        gg = jnp.asarray(gg_table)[jnp.clip(gg_ind, 0, 255)]
+        # 256-way masked sum: a [S] per-stream gather serializes on TPU
+        gi = jnp.clip(gg_ind, 0, 255)
+        gg = sum(
+            jnp.where(gi == i, F32(float(gg_table[i])), F32(0.0))
+            for i in range(256)
+        )
         scaled = x_f / gg[:, None]
         offs = jnp.where(x_f >= 0.0, scaled + F32(0.375), scaled - F32(0.375))
         x_q = jnp.clip(jnp.trunc(offs), -32768.0, 32767.0).astype(jnp.int32)
@@ -1252,7 +1298,9 @@ def noise_level_batch(p: EncoderParams, x_f, x_q, bw_ind, gg):
     """Noise factor 0..7 (noise_level_estimation.rs:21-55)."""
     ne = p.cfg.ne
     k = jnp.arange(ne)
-    bw_stop = jnp.asarray(p.nf_bw_stop, jnp.int32)[bw_ind][:, None]
+    bw_stop = sum(
+        jnp.where(bw_ind == c, int(p.nf_bw_stop[c]), 0) for c in range(5)
+    )[:, None] + jnp.zeros((x_f.shape[0], 1), jnp.int32)
     zero = (x_q == 0) | (k[None, :] >= bw_stop)
     window_zero = jnp.ones_like(zero)
     for d in range(-p.nf_width, p.nf_width + 1):

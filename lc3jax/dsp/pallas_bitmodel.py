@@ -89,8 +89,14 @@ def _kernel(nt: int, ne4: int, lanes: int, emit_pack: bool, maxnt_ref, *refs):
         lut24_ref, bitsT_ref, c_ref, g_ref, sym_ref, out_ref = refs
         lut24 = lut24_ref[...].astype(BF16)  # [24, 256]
         bitsT = bitsT_ref[0:34, :].astype(BF16)  # [34, 64]
-    iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, lanes), 0)
-    iota64 = jax.lax.broadcasted_iota(jnp.int32, (64, lanes), 0)
+    # one-hot construction in bf16 end-to-end: indices < 256 are exact in
+    # bf16, and a bf16 compare+select touches half the vregs of the i32
+    # compare + convert (the one-hot build, not the matmul, dominated this
+    # kernel's device time)
+    iota256b = jax.lax.broadcasted_iota(jnp.int32, (256, lanes), 0).astype(BF16)
+    iota64b = jax.lax.broadcasted_iota(jnp.int32, (64, lanes), 0).astype(BF16)
+    one_b = jnp.ones((), BF16)
+    zero_b = jnp.zeros((), BF16)
     iota17 = jax.lax.broadcasted_iota(jnp.int32, (17, lanes), 0)
     # rows beyond the batch's last coded tuple are never consumed (masked by
     # in_range downstream) but must be defined
@@ -103,7 +109,9 @@ def _kernel(nt: int, ne4: int, lanes: int, emit_pack: bool, maxnt_ref, *refs):
         gv = g_ref[n, :].astype(F32)  # ladder depth 0..14
         sv = sym_ref[n, :]  # final symbol 0..16
 
-        ohc = (iota256 == cv[None, :]).astype(BF16)  # [256, 128]
+        ohc = jnp.where(
+            iota256b == cv.astype(BF16)[None, :], one_b, zero_b
+        )  # [256, lanes] bf16
         m2 = jax.lax.dot_general(
             lut24, ohc, (((1,), (0,)), ((), ())), preferred_element_type=F32
         )  # [24, 128]: rows 0..7 pki, 8..15 esc hi byte, 16..23 esc lo byte
@@ -128,7 +136,9 @@ def _kernel(nt: int, ne4: int, lanes: int, emit_pack: bool, maxnt_ref, *refs):
             lev == 0.0, pki[0, :],
             jnp.where(lev == 1.0, pki[1, :], jnp.where(lev == 2.0, pki[2, :], pki[3, :])),
         )
-        ohp = (iota64 == pki_fin[None, :].astype(jnp.int32)).astype(BF16)  # [64,128]
+        ohp = jnp.where(
+            iota64b == pki_fin[None, :].astype(BF16), one_b, zero_b
+        )  # [64, lanes] bf16 (pki is an f32-exact small integer)
         bhl = jax.lax.dot_general(
             bitsT, ohp, (((1,), (0,)), ((), ())), preferred_element_type=F32
         )  # [34, 128]
