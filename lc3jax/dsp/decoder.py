@@ -366,14 +366,35 @@ def decode_step(
     # S >= 8192, but its compile is slow and not served from the persistent
     # cache on this toolchain (several minutes per process) and it breaks
     # the xprof profiler, so it is opt-in via ltpf_use_pallas until the
-    # toolchain catches up. At the bench operating point (S=2048) the scan
-    # path is already VMEM-resident.
-    t, new_ltpf = ltpf_run(
-        p, state.ltpf, t, nbits,
-        frames.ltpf_active & ~frames.bad_frame,
-        jnp.where(frames.bad_frame, 0, frames.pitch_index),
-        use_pallas=ltpf_use_pallas and frames.x_int.shape[0] % 256 == 0,
-    )
+    # toolchain catches up. Beyond S=4096 the scan path's per-block slabs
+    # spill VMEM; LTPF is elementwise in the stream axis, so large batches
+    # run it in S<=4096 chunks (lax.map) — each chunk stays VMEM-resident
+    # and the spill disappears without the Pallas kernel.
+    S_here = frames.x_int.shape[0]
+    ltpf_active_v = frames.ltpf_active & ~frames.bad_frame
+    pitch_v = jnp.where(frames.bad_frame, 0, frames.pitch_index)
+    use_pl = ltpf_use_pallas and S_here % 256 == 0
+    if not use_pl and S_here > 4096 and S_here % 4096 == 0:
+        nch = S_here // 4096
+
+        def chunk(args):
+            st_c, t_c, act_c, pit_c = args
+            y_c, ns_c = ltpf_run(p, st_c, t_c, nbits, act_c, pit_c)
+            return y_c, ns_c
+
+        resh = lambda a: a.reshape((nch, 4096) + a.shape[1:])
+        st_ch = jax.tree_util.tree_map(resh, state.ltpf)
+        t2, new_ltpf = jax.lax.map(
+            chunk, (st_ch, resh(t), resh(ltpf_active_v), resh(pitch_v))
+        )
+        t = t2.reshape(S_here, -1)
+        unresh = lambda a: a.reshape((S_here,) + a.shape[2:])
+        new_ltpf = jax.tree_util.tree_map(unresh, new_ltpf)
+    else:
+        t, new_ltpf = ltpf_run(
+            p, state.ltpf, t, nbits, ltpf_active_v, pitch_v,
+            use_pallas=use_pl,
+        )
     pcm = output_scale(t)
     new_state = DecoderState(
         mem_ola=new_mem,

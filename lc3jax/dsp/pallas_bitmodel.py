@@ -89,12 +89,11 @@ def _kernel(nt: int, ne4: int, lanes: int, emit_pack: bool, maxnt_ref, *refs):
         lut24_ref, bitsT_ref, c_ref, g_ref, sym_ref, out_ref = refs
         lut24 = lut24_ref[...].astype(BF16)  # [24, 256]
         bitsT = bitsT_ref[0:34, :].astype(BF16)  # [34, 64]
-    # one-hot construction in bf16 end-to-end: indices < 256 are exact in
-    # bf16, and a bf16 compare+select touches half the vregs of the i32
-    # compare + convert (the one-hot build, not the matmul, dominated this
-    # kernel's device time)
-    iota256b = jax.lax.broadcasted_iota(jnp.int32, (256, lanes), 0).astype(BF16)
-    iota64b = jax.lax.broadcasted_iota(jnp.int32, (64, lanes), 0).astype(BF16)
+    # NOTE: Mosaic does not lower bf16 vector compares (arith.cmpf on
+    # bf16 fails to legalize), so the one-hot compares stay in i32 with a
+    # bf16-valued select
+    iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, lanes), 0)
+    iota64 = jax.lax.broadcasted_iota(jnp.int32, (64, lanes), 0)
     one_b = jnp.ones((), BF16)
     zero_b = jnp.zeros((), BF16)
     iota17 = jax.lax.broadcasted_iota(jnp.int32, (17, lanes), 0)
@@ -110,7 +109,7 @@ def _kernel(nt: int, ne4: int, lanes: int, emit_pack: bool, maxnt_ref, *refs):
         sv = sym_ref[n, :]  # final symbol 0..16
 
         ohc = jnp.where(
-            iota256b == cv.astype(BF16)[None, :], one_b, zero_b
+            iota256 == cv[None, :], one_b, zero_b
         )  # [256, lanes] bf16
         m2 = jax.lax.dot_general(
             lut24, ohc, (((1,), (0,)), ((), ())), preferred_element_type=F32
@@ -137,8 +136,8 @@ def _kernel(nt: int, ne4: int, lanes: int, emit_pack: bool, maxnt_ref, *refs):
             jnp.where(lev == 1.0, pki[1, :], jnp.where(lev == 2.0, pki[2, :], pki[3, :])),
         )
         ohp = jnp.where(
-            iota64b == pki_fin[None, :].astype(BF16), one_b, zero_b
-        )  # [64, lanes] bf16 (pki is an f32-exact small integer)
+            iota64 == pki_fin[None, :].astype(jnp.int32), one_b, zero_b
+        )  # [64, lanes] bf16
         bhl = jax.lax.dot_general(
             bitsT, ohp, (((1,), (0,)), ((), ())), preferred_element_type=F32
         )  # [34, 128]
