@@ -89,13 +89,13 @@ def _kernel(nt: int, ne4: int, lanes: int, emit_pack: bool, maxnt_ref, *refs):
         lut24_ref, bitsT_ref, c_ref, g_ref, sym_ref, out_ref = refs
         lut24 = lut24_ref[...].astype(BF16)  # [24, 256]
         bitsT = bitsT_ref[0:34, :].astype(BF16)  # [34, 64]
-    # NOTE: Mosaic does not lower bf16 vector compares (arith.cmpf on
-    # bf16 fails to legalize), so the one-hot compares stay in i32 with a
-    # bf16-valued select
+    # NOTE: the one-hot build must stay exactly `(iota == v).astype(BF16)`:
+    # Mosaic neither lowers bf16 vector compares (arith.cmpf on bf16) nor
+    # relayouts the i1 mask of an i32 compare into a bf16-valued select
+    # (i1 tiling (8,128) vs (16,128)) — both "cheaper" formulations fail
+    # to compile on real TPU while passing in interpret mode
     iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, lanes), 0)
     iota64 = jax.lax.broadcasted_iota(jnp.int32, (64, lanes), 0)
-    one_b = jnp.ones((), BF16)
-    zero_b = jnp.zeros((), BF16)
     iota17 = jax.lax.broadcasted_iota(jnp.int32, (17, lanes), 0)
     # rows beyond the batch's last coded tuple are never consumed (masked by
     # in_range downstream) but must be defined
@@ -108,9 +108,7 @@ def _kernel(nt: int, ne4: int, lanes: int, emit_pack: bool, maxnt_ref, *refs):
         gv = g_ref[n, :].astype(F32)  # ladder depth 0..14
         sv = sym_ref[n, :]  # final symbol 0..16
 
-        ohc = jnp.where(
-            iota256 == cv[None, :], one_b, zero_b
-        )  # [256, lanes] bf16
+        ohc = (iota256 == cv[None, :]).astype(BF16)  # [256, lanes]
         m2 = jax.lax.dot_general(
             lut24, ohc, (((1,), (0,)), ((), ())), preferred_element_type=F32
         )  # [24, 128]: rows 0..7 pki, 8..15 esc hi byte, 16..23 esc lo byte
@@ -135,9 +133,7 @@ def _kernel(nt: int, ne4: int, lanes: int, emit_pack: bool, maxnt_ref, *refs):
             lev == 0.0, pki[0, :],
             jnp.where(lev == 1.0, pki[1, :], jnp.where(lev == 2.0, pki[2, :], pki[3, :])),
         )
-        ohp = jnp.where(
-            iota64 == pki_fin[None, :].astype(jnp.int32), one_b, zero_b
-        )  # [64, lanes] bf16
+        ohp = (iota64 == pki_fin[None, :].astype(jnp.int32)).astype(BF16)
         bhl = jax.lax.dot_general(
             bitsT, ohp, (((1,), (0,)), ((), ())), preferred_element_type=F32
         )  # [34, 128]

@@ -59,4 +59,6 @@ def test_variable_rate_encode_decodable_and_mostly_exact():
         assert len(got) == nbytes
         n_exact += got == want
         dec_oracle.decode_frame(16, 0, got)  # every payload must decode
-    assert n_exact >= 0.6 * len(RATE_PLAN)
+    # floor raised from 0.6 after the round-3 precision work (split DCT,
+    # divide-once band energies); verified green at 0.8 on this content
+    assert n_exact >= 0.8 * len(RATE_PLAN)
