@@ -167,16 +167,19 @@ def main() -> None:
     final_lsb2 = int(
         np.abs(np.asarray(pcm2)[:, 0].astype(int) - pcm_out.astype(int)).max()
     )
+    ltpf_adds = final_lsb2 - tp_err
     stage_attr = {
         "spectral_max_abs_err": round(xs_err, 6),
         "pre_ltpf_max_abs_err_pcm_units": round(tp_err, 4),
         "final_max_lsb": final_lsb2,
         "note": (
-            "spectral drift is ulp-level; the pre-LTPF error (IMDCT matmul "
-            "fma + OLA feedback) vs the final LSB shows how much the LTPF "
-            "history recirculation amplifies it — the envelope (16 LSB) "
-            "rests on the pre-LTPF error staying O(1 LSB) with LTPF "
-            "amplification bounded by its gain < 1"
+            f"the plateau forms BEFORE the LTPF: pre-LTPF error "
+            f"{tp_err:.1f} PCM units vs final {final_lsb2} LSB (LTPF "
+            f"contributes ~{max(ltpf_adds, 0.0):.1f}). Source: fma "
+            "contraction in the spectral chain and IMDCT matmul, "
+            "recirculated through the OLA overlap memory across frames. "
+            "The 16-LSB envelope = the measured OLA-feedback plateau "
+            "plus margin; LTPF history is NOT an amplifier here."
         ),
     }
 
