@@ -41,6 +41,7 @@ static int32_t g_mpvq_offsets[16][11];
 // division + one load — exact, since tmp*cumfreq[val] <= low iff
 // cumfreq[val] <= floor(low/tmp).
 static uint8_t g_spec_sym_of_q[64][1024];
+static uint64_t g_recip14[16384];
 
 struct Reader {
   const uint8_t* buf;
@@ -175,8 +176,9 @@ struct RangeDec {
   int decode(Reader& r, const int16_t* cumfreq, const int16_t* freq, int n) {
     uint32_t tmp = range >> 10;
     if (low >= (tmp << 10)) { error = true; return 0; }
+    uint32_t q = uint32_t((uint64_t(low) * g_recip14[tmp]) >> 38);
     int val = n - 1;
-    while (low < tmp * uint32_t(cumfreq[val])) val--;
+    while (uint32_t(cumfreq[val]) > q) val--;
     low -= tmp * uint32_t(cumfreq[val]);
     range = tmp * uint32_t(freq[val]);
     while (range < 0x10000) {
@@ -189,7 +191,7 @@ struct RangeDec {
   int decode_spec(Reader& r, int pki) {
     uint32_t tmp = range >> 10;
     if (low >= (tmp << 10)) { error = true; return 0; }
-    int val = g_spec_sym_of_q[pki][low / tmp];
+    int val = g_spec_sym_of_q[pki][(uint64_t(low) * g_recip14[tmp]) >> 38];
     low -= tmp * uint32_t(g_ac_spec_cumfreq[pki][val]);
     range = tmp * uint32_t(g_ac_spec_freq[pki][val]);
     while (range < 0x10000) {
@@ -656,6 +658,9 @@ void lc3_load_tables(const int16_t* spec_freq, const int16_t* spec_cumfreq,
   std::memcpy(g_ac_tns_coef_cumfreq, tns_coef_cumfreq,
               sizeof(g_ac_tns_coef_cumfreq));
   std::memcpy(g_mpvq_offsets, mpvq_offsets, sizeof(g_mpvq_offsets));
+  g_recip14[0] = 0;
+  for (uint64_t d = 1; d < 16384; d++)
+    g_recip14[d] = ((uint64_t(1) << 38) + d - 1) / d;
   for (int pki = 0; pki < 64; pki++) {
     int val = 0;
     for (int q = 0; q < 1024; q++) {
