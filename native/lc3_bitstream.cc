@@ -35,13 +35,14 @@ static int16_t g_ac_tns_order_cumfreq[2][8];
 static int16_t g_ac_tns_coef_freq[8][17];
 static int16_t g_ac_tns_coef_cumfreq[8][17];
 static int32_t g_mpvq_offsets[16][11];
-// quotient -> symbol LUT for the spectral model (64 KB, L2-resident):
-// sym_of_q[pki][q] = max val with cumfreq[val] <= q. Replaces the per-symbol
-// multiply walk-down (reference arithmetic_codec.rs:81-84) with one integer
-// division + one load — exact, since tmp*cumfreq[val] <= low iff
-// cumfreq[val] <= floor(low/tmp).
-static uint8_t g_spec_sym_of_q[64][1024];
 static uint64_t g_recip14[16384];
+// quotient -> fused spectral-model entry (256 KB, L2-resident), indexed by
+// q = floor(low/tmp) computed via the reciprocal table (exact: the
+// per-symbol multiply walk-down of reference arithmetic_codec.rs:81-84
+// satisfies tmp*cumfreq[val] <= low iff cumfreq[val] <= q). Each entry
+// packs val (5b) | cumfreq[val] (10b) | freq[val] (11b) in one uint32, so
+// the serial decode chain pays a single dependent load after the quotient.
+static uint32_t g_spec_ent[64][1024];
 
 struct Reader {
   const uint8_t* buf;
@@ -187,17 +188,28 @@ struct RangeDec {
     }
     return val;
   }
-  // spectral-model fast path: branchless symbol search via the quotient LUT
+  // spectral-model fast path: branchless symbol search via the quotient LUT.
+  // Requires r.buf to have >= 2 readable zero bytes past r.len (the batch
+  // driver parses from a zero-padded copy), so the renormalisation can read
+  // unconditionally: past-the-end bytes read as 0, exactly what head_byte()
+  // returns once the error flag is set, and the flag itself is kept exact
+  // (consuming byte index >= len marks the frame corrupt).
   int decode_spec(Reader& r, int pki) {
     uint32_t tmp = range >> 10;
     if (low >= (tmp << 10)) { error = true; return 0; }
-    int val = g_spec_sym_of_q[pki][(uint64_t(low) * g_recip14[tmp]) >> 38];
-    low -= tmp * uint32_t(g_ac_spec_cumfreq[pki][val]);
-    range = tmp * uint32_t(g_ac_spec_freq[pki][val]);
-    while (range < 0x10000) {
-      low = ((low << 8) & 0x00ffffff) + uint32_t(r.head_byte());
-      range <<= 8;
-    }
+    uint32_t e = g_spec_ent[pki][(uint64_t(low) * g_recip14[tmp]) >> 38];
+    int val = int(e & 31u);
+    low -= tmp * ((e >> 5) & 1023u);
+    range = tmp * (e >> 15);
+    // branchless renorm: range >= 0x40 always (tmp >= 0x40, freq >= 1), so
+    // at most 2 bytes are pulled per symbol
+    uint32_t nb = uint32_t(range < 0x10000u) + uint32_t(range < 0x100u);
+    uint32_t two = (uint32_t(r.buf[r.head]) << 8) | uint32_t(r.buf[r.head + 1]);
+    uint32_t sh = 8u * nb;
+    low = ((low << sh) & 0x00ffffffu) | ((two >> (16u - sh)) & ((1u << sh) - 1u));
+    range <<= sh;
+    r.head += int(nb);
+    if (r.head > r.len) r.error = true;
     return val;
   }
 };
@@ -232,88 +244,281 @@ static int ilog2_floor(uint32_t v) {
   return r;
 }
 
-// Full frame parse (side info + TNS + spectrum + residual); returns false on
-// corrupt input (caller flags PLC).
-static bool parse_one(const uint8_t* buf, int nbytes, int fs_ind, int ne,
-                      bool is_7p5ms,
-                      int32_t* x, uint8_t* lsb_mode, int32_t* gg_ind,
-                      int32_t* rc_order, int32_t* rc_i, int32_t* bandwidth,
-                      int32_t* noise_factor, int32_t* nf_seed,
-                      uint8_t* zero_frame, uint8_t* residual_bits,
-                      int32_t* n_residual, int32_t* sns_y, int32_t* sns_shape,
-                      int32_t* sns_gind, int32_t* sns_ind_lf,
-                      int32_t* sns_ind_hf, uint8_t* ltpf_active,
-                      int32_t* pitch_index) {
-  // buffers are reused across calls: clear the sparsely-written rows
-  std::memset(residual_bits, 0, size_t(ne));
-  std::memset(rc_i, 0, sizeof(int32_t) * 16);
-  std::memset(sns_y, 0, sizeof(int32_t) * 16);
-  rc_order[0] = rc_order[1] = 0;
-  Reader r{buf, nbytes};
-  SideInfo si;
-  if (!read_side_info(r, fs_ind, ne, si)) return false;
-
-  int nbits = nbytes * 8;
+// Per-frame parse state, phase-split so the batch driver can interleave the
+// spectral loops of several frames on one core. The spectral range decoder
+// is a ~30-cycle serial dependency chain per symbol (recip multiply ->
+// 64 KB LUT load -> low/range update); one frame alone leaves the core's
+// out-of-order window mostly idle, so the driver steps G frames round-robin
+// and their independent chains overlap (memory-level parallelism). Measured
+// phase split before this restructure: spectral decode was ~92% of parse
+// time. Semantics mirror the reference spectral_data.rs / arithmetic_codec.rs
+// as re-derived in lc3jax/ref/bitstream.py; parity pinned by
+// tests/test_native_bitstream.py and the on-device differential fuzz.
+struct FrameCtx {
+  Reader r;
   RangeDec st;
-  st.init(r);
+  SideInfo si;
+  // spectral loop cursor
+  int k = 0, c = 0;
+  int ne, nbits, rate_flag;
+  int tns_order[2];
+  int tns_idx[16];
+  int32_t* x;
+  int* save_lev;  // [ne] scratch, pooled by the driver
+  bool bad = false;   // frame is corrupt (PLC)
+  bool done = false;  // spectral loop finished (or failed)
+  // zero-padded payload copy: lets the range decoder renorm read 2 bytes
+  // unconditionally (max nbytes is 400 per the LC3 spec / api.py)
+  uint8_t pad[408];
+};
 
-  // TNS
+// Side info + TNS + range-decoder init. On any corruption marks the frame
+// bad+done so the spectral/tail phases are skipped.
+static void parse_head(FrameCtx& f, const uint8_t* buf, int nbytes, int fs_ind,
+                       int ne, bool is_7p5ms) {
+  std::memcpy(f.pad, buf, size_t(nbytes));
+  std::memset(f.pad + nbytes, 0, 8);
+  f.r = Reader{f.pad, nbytes};
+  f.ne = ne;
+  f.nbits = nbytes * 8;
+  f.k = 0;
+  f.c = 0;
+  f.bad = false;
+  f.done = false;
+  f.si = SideInfo{};  // read_side_info writes some fields only conditionally
+  if (!read_side_info(f.r, fs_ind, ne, f.si)) {
+    f.bad = f.done = true;
+    return;
+  }
+  f.st = RangeDec{};
+  f.st.init(f.r);
+
   int max_bits = is_7p5ms ? 360 : 480;
-  int lpcw = nbits < max_bits ? 1 : 0;
-  int tns_order[2] = {si.rc_order[0], si.rc_order[1]};
-  int tns_idx[16] = {0};
-  for (int f = 0; f < si.num_tns_filters; f++) {
-    if (tns_order[f] > 0) {
-      int order = st.decode(r, g_ac_tns_order_cumfreq[lpcw],
-                            g_ac_tns_order_freq[lpcw], 8);
-      if (st.error || r.error) return false;
-      tns_order[f] = order + 1;
-      for (int k = 0; k < tns_order[f]; k++) {
-        tns_idx[f * 8 + k] =
-            st.decode(r, g_ac_tns_coef_cumfreq[k], g_ac_tns_coef_freq[k], 17);
-        if (st.error || r.error) return false;
+  int lpcw = f.nbits < max_bits ? 1 : 0;
+  f.tns_order[0] = f.si.rc_order[0];
+  f.tns_order[1] = f.si.rc_order[1];
+  for (int i = 0; i < 16; i++) f.tns_idx[i] = 0;
+  for (int fi = 0; fi < f.si.num_tns_filters; fi++) {
+    if (f.tns_order[fi] > 0) {
+      int order = f.st.decode(f.r, g_ac_tns_order_cumfreq[lpcw],
+                              g_ac_tns_order_freq[lpcw], 8);
+      if (f.st.error || f.r.error) { f.bad = f.done = true; return; }
+      f.tns_order[fi] = order + 1;
+      for (int k = 0; k < f.tns_order[fi]; k++) {
+        f.tns_idx[fi * 8 + k] = f.st.decode(f.r, g_ac_tns_coef_cumfreq[k],
+                                            g_ac_tns_coef_freq[k], 17);
+        if (f.st.error || f.r.error) { f.bad = f.done = true; return; }
       }
     }
   }
+  f.rate_flag = f.nbits > (160 + fs_ind * 160) ? 512 : 0;
+  if (f.si.lastnz <= 0) f.done = true;
+}
 
-  // spectrum
-  int rate_flag = nbits > (160 + fs_ind * 160) ? 512 : 0;
-  int c = 0;
-  int save_lev[512] = {0};  // ne <= 480
-  for (int k = 0; k < si.lastnz; k += 2) {
-    int t = c + rate_flag + (k > ne / 2 ? 256 : 0);
-    int xk = 0, xk1 = 0, sym = 0, lev = 0;
-    while (lev < 14) {
-      int pki = g_ac_spec_lookup[t + std::min(lev, 3) * 1024];
-      sym = st.decode_spec(r, pki);
-      if (st.error || r.error) return false;
-      if (sym < 16) break;
-      if (!si.lsb_mode || lev > 0) {
-        xk += int(r.tail_bool()) << lev;
-        xk1 += int(r.tail_bool()) << lev;
-      }
-      lev++;
-    }
-    if (si.lsb_mode) save_lev[k] = lev;
-    int a = sym & 3, b = sym >> 2;
-    xk += a << lev;
-    xk1 += b << lev;
-    if (xk > 0 && r.tail_bool()) xk = -xk;
-    if (xk1 > 0 && r.tail_bool()) xk1 = -xk1;
-    if (r.error) return false;
-    x[k] = xk;
-    x[k + 1] = xk1;
-    lev = std::min(lev, 3);
-    t = lev <= 1 ? 1 + (a + b) * (lev + 1) : 12 + lev;
-    c = (c & 15) * 16 + t;
+// --- register-resident spectral loop ---------------------------------
+// The spectral range decoder is a serial dependency chain per symbol
+// (quotient multiply -> fused model-entry load -> low/range update). To
+// overlap two frames' chains in the out-of-order window WITHOUT paying a
+// per-step state round-trip through memory, the hot cursor lives in a
+// small non-escaping struct (scalarised into registers by the compiler)
+// for the whole loop. Control flow stays BRANCHY on purpose: the renorm
+// and sign branches predict well on real content, so the core speculates
+// past them, while cmov formulations were measured to lengthen the serial
+// low->quotient->entry->low chain and lose ~25%. Error flags are sticky
+// and checked once per pair (memory-safe post-error: padded payload copy,
+// bounds-checked tail reads, bad frames' outputs are zeroed by the driver).
+struct SpecHot {
+  uint32_t low, range;
+  int head, tail;
+  bool st_err = false, rd_err = false;
+  int c, k, lev, t;
+  int xk, xk1;
+  int pki;
+  bool done;
+};
+
+static inline void hot_load(SpecHot& h, const FrameCtx& f) {
+  h.low = f.st.low;
+  h.range = f.st.range;
+  h.head = f.r.head;
+  h.tail = f.r.tail_bits;
+  h.st_err = f.st.error;
+  h.rd_err = f.r.error;
+  h.c = f.c;
+  h.k = f.k;
+  h.done = f.done;
+}
+
+static inline void hot_store(const SpecHot& h, FrameCtx& f) {
+  f.st.low = h.low;
+  f.st.range = h.range;
+  f.st.error = h.st_err;
+  f.r.head = h.head;
+  f.r.tail_bits = h.tail;
+  f.r.error = h.rd_err;
+  f.c = h.c;
+  f.k = h.k;
+  f.done = h.done;
+}
+
+static inline void pair_begin(SpecHot& h, const FrameCtx& f) {
+  h.t = h.c + f.rate_flag + (h.k > f.ne / 2 ? 256 : 0);
+  h.lev = 0;
+  h.xk = 0;
+  h.xk1 = 0;
+  h.pki = g_ac_spec_lookup[h.t];
+}
+
+// one spectral symbol; mirrors RangeDec::decode_spec on local state
+static inline int hot_sym(SpecHot& h, const uint8_t* buf, int len) {
+  uint32_t tmp = h.range >> 10;
+  if (h.low >= (tmp << 10)) { h.st_err = true; return 0; }
+  uint32_t e = g_spec_ent[h.pki][(uint64_t(h.low) * g_recip14[tmp]) >> 38];
+  int val = int(e & 31u);
+  h.low -= tmp * ((e >> 5) & 1023u);
+  h.range = tmp * (e >> 15);
+  // speculative renorm: reads from the zero-padded copy (over-reads past
+  // len behave exactly like head_byte()'s 0 return once the sticky error
+  // below is set); the loop branch predicts well and keeps the byte feed
+  // off the serial chain
+  while (h.range < 0x10000u) {
+    h.low = ((h.low << 8) & 0x00ffffffu) | uint32_t(buf[h.head++]);
+    h.range <<= 8;
   }
+  h.rd_err |= (h.head > len);
+  return val;
+}
+
+// one tail (side) bit consume; mirrors Reader::tail_bool semantics
+static inline int hot_tail(SpecHot& h, const uint8_t* buf, int len) {
+  int byte_index = h.tail >> 3;
+  int bit_index = h.tail & 7;
+  bool oob = (len - h.head - byte_index + 2) < 0;
+  h.rd_err |= oob;
+  int idx = oob ? 0 : (len - byte_index - 1);
+  int b = (buf[idx] >> bit_index) & 1;
+  h.tail++;
+  return oob ? 0 : b;
+}
+
+// conditional sign consume: when v > 0, read one tail bit and negate v if
+// it is set (speculative: most lines are zero, the branch predicts well)
+static inline void hot_sign(SpecHot& h, const uint8_t* buf, int len, int& v) {
+  if (v > 0 && hot_tail(h, buf, len)) v = -v;
+}
+
+// bookkeeping after one symbol: advance the escape ladder or finish the
+// k-pair; keeps h.pki primed for the next symbol. Exactly the reference
+// ladder semantics (spectral_data.rs) incl. the lev==14 corner: the ladder
+// exits with the escape symbol itself as (a, b).
+static inline void hot_after_sym(SpecHot& h, FrameCtx& f, int sym,
+                                 const uint8_t* buf, int len) {
+  bool escape = (sym >= 16) & !h.st_err;
+  if (escape) {
+    if (!f.si.lsb_mode || h.lev > 0) {
+      h.xk += hot_tail(h, buf, len) << h.lev;
+      h.xk1 += hot_tail(h, buf, len) << h.lev;
+    }
+    h.lev++;
+    if (h.lev < 14) {
+      h.pki = g_ac_spec_lookup[h.t + std::min(h.lev, 3) * 1024];
+      return;
+    }
+  }
+  f.save_lev[h.k] = h.lev;  // scratch is per-frame: harmless when !lsb_mode
+  int a = sym & 3, b = sym >> 2;
+  int xk = h.xk + (a << h.lev), xk1 = h.xk1 + (b << h.lev);
+  hot_sign(h, buf, len, xk);
+  hot_sign(h, buf, len, xk1);
+  if (h.st_err | h.rd_err) {
+    f.bad = true;
+    h.done = true;
+    return;
+  }
+  f.x[h.k] = xk;
+  f.x[h.k + 1] = xk1;
+  int lv = std::min(h.lev, 3);
+  int tn = lv <= 1 ? 1 + (a + b) * (lv + 1) : 12 + lv;
+  h.c = (h.c & 15) * 16 + tn;
+  h.k += 2;
+  if (h.k >= f.si.lastnz) {
+    h.done = true;
+    return;
+  }
+  h.t = h.c + f.rate_flag + (h.k > f.ne / 2 ? 256 : 0);
+  h.lev = 0;
+  h.xk = 0;
+  h.xk1 = 0;
+  h.pki = g_ac_spec_lookup[h.t];
+}
+
+// run one frame's spectral loop to completion on local state
+static void spec_loop1(FrameCtx& f) {
+  if (f.done) return;
+  SpecHot h;
+  hot_load(h, f);
+  pair_begin(h, f);
+  const uint8_t* buf = f.r.buf;
+  const int len = f.r.len;
+  while (!h.done) {
+    int sym = hot_sym(h, buf, len);
+    hot_after_sym(h, f, sym, buf, len);
+  }
+  hot_store(h, f);
+}
+
+// run two frames' spectral loops simultaneously: their symbol chains are
+// independent, so the out-of-order core overlaps the dependent loads
+static void spec_loop2(FrameCtx& A, FrameCtx& B) {
+  if (A.done) { spec_loop1(B); return; }
+  if (B.done) { spec_loop1(A); return; }
+  SpecHot a, b;
+  hot_load(a, A);
+  hot_load(b, B);
+  pair_begin(a, A);
+  pair_begin(b, B);
+  const uint8_t* bufA = A.r.buf;
+  const int lenA = A.r.len;
+  const uint8_t* bufB = B.r.buf;
+  const int lenB = B.r.len;
+  while (!(a.done | b.done)) {
+    int symA = hot_sym(a, bufA, lenA);
+    int symB = hot_sym(b, bufB, lenB);
+    hot_after_sym(a, A, symA, bufA, lenA);
+    hot_after_sym(b, B, symB, bufB, lenB);
+  }
+  while (!a.done) {
+    int sym = hot_sym(a, bufA, lenA);
+    hot_after_sym(a, A, sym, bufA, lenA);
+  }
+  while (!b.done) {
+    int sym = hot_sym(b, bufB, lenB);
+    hot_after_sym(b, B, sym, bufB, lenB);
+  }
+  hot_store(a, A);
+  hot_store(b, B);
+}
+
+// Residual bits, noise seed, SNS de-enumeration, field stores.
+static bool parse_tail(FrameCtx& f,
+                       uint8_t* lsb_mode, int32_t* gg_ind,
+                       int32_t* rc_order, int32_t* rc_i, int32_t* bandwidth,
+                       int32_t* noise_factor, int32_t* nf_seed,
+                       uint8_t* zero_frame, uint8_t* residual_bits,
+                       int32_t* n_residual, int32_t* sns_y, int32_t* sns_shape,
+                       int32_t* sns_gind, int32_t* sns_ind_lf,
+                       int32_t* sns_ind_hf, uint8_t* ltpf_active,
+                       int32_t* pitch_index) {
+  Reader& r = f.r;
+  const SideInfo& si = f.si;
+  int32_t* x = f.x;
+  const int ne = f.ne;
   for (int k = si.lastnz; k < ne; k++) x[k] = 0;
 
-  // residual
   int nbits_side = r.tail_bits - 8;
-  int nbits_ari = (r.head + 1 - 3) * 8 + 25 - ilog2_floor(st.range);
-  if (nbits < nbits_side + nbits_ari) return false;
-  int nres_avail = nbits - nbits_side - nbits_ari;
+  int nbits_ari = (r.head + 1 - 3) * 8 + 25 - ilog2_floor(f.st.range);
+  if (f.nbits < nbits_side + nbits_ari) return false;
+  int nres_avail = f.nbits - nbits_side - nbits_ari;
   int nres = 0;
   if (!si.lsb_mode) {
     for (int k = 0; k < ne; k++) {
@@ -344,7 +549,7 @@ static bool parse_one(const uint8_t* buf, int nbytes, int fs_ind, int ne,
       return true;
     };
     for (int k = 0; k < si.lastnz; k += 2) {
-      if (save_lev[k] > 0) {
+      if (f.save_lev[k] > 0) {
         if (!read_bit(k)) break;
         if (!read_bit(k + 1)) break;
       }
@@ -359,9 +564,9 @@ static bool parse_one(const uint8_t* buf, int nbytes, int fs_ind, int ne,
 
   *lsb_mode = si.lsb_mode;
   *gg_ind = si.gg_ind;
-  rc_order[0] = tns_order[0];
-  rc_order[1] = tns_order[1];
-  for (int i = 0; i < 16; i++) rc_i[i] = tns_idx[i];
+  rc_order[0] = f.tns_order[0];
+  rc_order[1] = f.tns_order[1];
+  for (int i = 0; i < 16; i++) rc_i[i] = f.tns_idx[i];
   *bandwidth = si.bandwidth;
   *noise_factor = si.noise_factor;
   *n_residual = nres;
@@ -572,8 +777,10 @@ static bool pack_one(const EncFields& f, int ne, uint8_t* out, int nbytes) {
   }
 
   // spectral data
-  std::vector<uint8_t> lsbs;
-  lsbs.reserve(f.nbits_lsb + 8);
+  // lsb queue: at most 4 entries per k-pair over <= 240 pairs; a fixed
+  // stack buffer avoids a per-frame heap allocation
+  uint8_t lsbs[1984];
+  int n_lsbs = 0;
   int c = 0;
   for (int k = 0; k < f.lastnz_trunc; k += 2) {
     int t = c + f.rate_flag + (k > ne / 2 ? 256 : 0);
@@ -603,10 +810,10 @@ static bool pack_one(const EncFields& f, int ne, uint8_t* out, int nbytes) {
     if (f.lsb_mode && lev > 0) {
       a_lsb >>= 1;
       b_lsb >>= 1;
-      lsbs.push_back(lsb0);
-      if (a_lsb == 0 && f.x_q[k] != 0) lsbs.push_back(f.x_q[k] > 0 ? 0 : 1);
-      lsbs.push_back(lsb1);
-      if (b_lsb == 0 && f.x_q[k + 1] != 0) lsbs.push_back(f.x_q[k + 1] > 0 ? 0 : 1);
+      lsbs[n_lsbs++] = lsb0;
+      if (a_lsb == 0 && f.x_q[k] != 0) lsbs[n_lsbs++] = f.x_q[k] > 0 ? 0 : 1;
+      lsbs[n_lsbs++] = lsb1;
+      if (b_lsb == 0 && f.x_q[k + 1] != 0) lsbs[n_lsbs++] = f.x_q[k + 1] > 0 ? 0 : 1;
     }
     if (a_lsb > 0) w.bool_backward(f.x_q[k] <= 0);
     if (b_lsb > 0) w.bool_backward(f.x_q[k + 1] <= 0);
@@ -630,7 +837,7 @@ static bool pack_one(const EncFields& f, int ne, uint8_t* out, int nbytes) {
       }
     }
   } else {
-    int n = std::min(nres_enc, int(lsbs.size()));
+    int n = std::min(nres_enc, n_lsbs);
     for (int i = 0; i < n; i++) w.bool_backward(lsbs[i] == 1);
   }
   st.finish(w);
@@ -665,7 +872,11 @@ void lc3_load_tables(const int16_t* spec_freq, const int16_t* spec_cumfreq,
     int val = 0;
     for (int q = 0; q < 1024; q++) {
       while (val < 16 && g_ac_spec_cumfreq[pki][val + 1] <= q) val++;
-      g_spec_sym_of_q[pki][q] = uint8_t(val);
+      // 5/10/11-bit packing fits: val <= 16, cumfreq <= 1023, freq <= 1024
+      // (the spectral model's total weight is 1 << 10)
+      g_spec_ent[pki][q] = uint32_t(val) |
+                           (uint32_t(g_ac_spec_cumfreq[pki][val]) << 5) |
+                           (uint32_t(g_ac_spec_freq[pki][val]) << 15);
     }
   }
 }
@@ -685,22 +896,52 @@ int lc3_parse_frames(const uint8_t* payloads, int S, int nbytes, int fs_ind,
   std::vector<std::thread> threads;
   int nt = std::max(1, n_threads);
   std::vector<int> bad_counts(nt, 0);
+  // Each thread drives frames through the spectral loop two at a time
+  // (spec_loop2): the pair's independent range-decoder chains overlap in
+  // the out-of-order window while the hot cursors stay in registers.
+  constexpr int G = 2;
   auto work = [&](int tid) {
-    for (int s = tid; s < S; s += nt) {
-      bool ok = parse_one(
-          payloads + size_t(s) * nbytes, nbytes, fs_ind, ne, is_7p5ms != 0,
-          x + size_t(s) * ne, lsb_mode + s, gg_ind + s, rc_order + size_t(s) * 2,
-          rc_i + size_t(s) * 16, bandwidth + s, noise_factor + s, nf_seed + s,
-          zero_frame + s, residual_bits + size_t(s) * ne, n_residual + s,
-          sns_y + size_t(s) * 16, sns_shape + s, sns_gind + s, sns_ind_lf + s,
-          sns_ind_hf + s, ltpf_active + s, pitch_index + s);
-      if (!ok) {
-        bad_frame[s] = 1;
-        // zero the outputs the device consumes for PLC lanes
-        std::memset(x + size_t(s) * ne, 0, sizeof(int32_t) * ne);
-        bad_counts[tid]++;
-      } else {
-        bad_frame[s] = 0;
+    std::vector<FrameCtx> ctx(G);
+    std::vector<int> lev_pool(size_t(G) * ne);
+    std::vector<int> idx(G);
+    int s = tid;
+    while (s < S) {
+      int g = 0;
+      for (; g < G && s < S; g++, s += nt) {
+        idx[g] = s;
+        ctx[g].x = x + size_t(s) * ne;
+        ctx[g].save_lev = lev_pool.data() + size_t(g) * ne;
+        // clear the sparsely-written output rows up front
+        std::memset(residual_bits + size_t(s) * ne, 0, size_t(ne));
+        std::memset(rc_i + size_t(s) * 16, 0, sizeof(int32_t) * 16);
+        std::memset(sns_y + size_t(s) * 16, 0, sizeof(int32_t) * 16);
+        rc_order[size_t(s) * 2] = rc_order[size_t(s) * 2 + 1] = 0;
+        parse_head(ctx[g], payloads + size_t(idx[g]) * nbytes, nbytes, fs_ind,
+                   ne, is_7p5ms != 0);
+      }
+      const int n = g;
+      if (n == 2) spec_loop2(ctx[0], ctx[1]);
+      else spec_loop1(ctx[0]);
+      for (int i = 0; i < n; i++) {
+        FrameCtx& f = ctx[i];
+        const int si = idx[i];
+        bool ok = !f.bad &&
+                  parse_tail(f, lsb_mode + si, gg_ind + si,
+                             rc_order + size_t(si) * 2, rc_i + size_t(si) * 16,
+                             bandwidth + si, noise_factor + si, nf_seed + si,
+                             zero_frame + si, residual_bits + size_t(si) * ne,
+                             n_residual + si, sns_y + size_t(si) * 16,
+                             sns_shape + si, sns_gind + si, sns_ind_lf + si,
+                             sns_ind_hf + si, ltpf_active + si,
+                             pitch_index + si);
+        if (!ok) {
+          bad_frame[si] = 1;
+          // zero the outputs the device consumes for PLC lanes
+          std::memset(x + size_t(si) * ne, 0, sizeof(int32_t) * ne);
+          bad_counts[tid]++;
+        } else {
+          bad_frame[si] = 0;
+        }
       }
     }
   };

@@ -57,6 +57,30 @@ def test_parse_flags_corrupt_frames():
     assert np.array_equal(pf.bad_frame, np.asarray(pf_p.bad_frame))
 
 
+@pytest.mark.parametrize("S", [1, 3, 5])
+def test_parse_pair_loop_drain_paths(S):
+    """The interleaved pair loop's edge paths stay bit-exact.
+
+    The native parser drives two frames at a time through the spectral
+    range decoder (native/lc3_bitstream.cc spec_loop2): odd batch sizes
+    exercise the single-frame tail, a corrupt partner exercises the
+    early-exit drain, and content with very different lastnz exercises
+    the unequal-length drain.
+    """
+    nbytes = 80
+    payloads = _mixed_payloads(nbytes, nframes=2)  # mixed lastnz lengths
+    rows = [bytearray(payloads[i % len(payloads)]) for i in range(S)]
+    if S >= 3:
+        rows[1][:] = b"\xff" * nbytes  # corrupt partner of frame 0
+    arr = np.frombuffer(b"".join(bytes(r) for r in rows), np.uint8).reshape(S, nbytes)
+    pf_n = native.parse_frames_native(CFG48, arr)
+    pf_p = parse_frames(CFG48, [bytes(r) for r in rows])
+    for field in dataclasses.fields(pf_n):
+        a = np.asarray(getattr(pf_n, field.name))
+        b = np.asarray(getattr(pf_p, field.name))
+        assert np.array_equal(a, b), field.name
+
+
 def test_pack_matches_python():
     from lc3jax.dsp.encoder import encode_step, encoder_init
 
