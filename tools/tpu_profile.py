@@ -75,11 +75,14 @@ def run_trace(kind: str, n_streams: int, steps: int, trace_dir: str) -> None:
             st, out = step(st, pcm_b)
         jax.block_until_ready((st, out))
     elif kind == "fused":
-        from lc3jax.coding.device import make_decode_bytes_step
+        # NOTE: use the undonated jit (make_decode_bytes_step donates the
+        # state arg, and this loop re-runs from the same initial state —
+        # re-using a donated buffer errors out the profiler session).
+        from lc3jax.coding.device import decode_bytes_step
         from lc3jax.dsp.decoder import decoder_init
 
         bytes_dev = jax.device_put(batch)
-        step = make_decode_bytes_step(cfg, nbytes)
+        step = jax.jit(functools.partial(decode_bytes_step, cfg, nbytes))
         state = decoder_init(cfg, n_streams)
         st, out = step(state, bytes_dev)
         jax.block_until_ready((st, out))
