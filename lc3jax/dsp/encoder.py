@@ -31,7 +31,6 @@ import numpy as np
 from .. import tables as T
 from ..config import FrameDuration, Lc3Config
 from .encoder_ltpf import LtpfEncState, ltpf_analysis, ltpf_enc_init
-from .params import dct_iv_matrix
 
 F32 = jnp.float32
 
@@ -56,8 +55,7 @@ def _seq_fold(x, axis: int):
 @dataclass(frozen=True)
 class EncoderParams:
     cfg: Lc3Config
-    dct: np.ndarray
-    dct_lo: np.ndarray  # f32 residue of the f64 DCT basis (split precision)
+    dct_exact: object  # BatchedFaithfulDctIV: the oracle's kissfft stages
     window: np.ndarray
     mdct_gain: np.float32
     energy_mat: np.ndarray  # [ne, nb] 0/1 indicators
@@ -158,21 +156,17 @@ def encoder_params(cfg: Lc3Config) -> EncoderParams:
         nf_start, nf_width = 18, 2
         attack_blocks, attack_lim, num_ds = 3, 1, 120
 
-    # split-precision DCT basis: hi = f32 rounding of the f64 matrix, lo =
-    # the f32-representable residue; folded@hi + folded@lo recovers most of
-    # the matrix-rounding ulp the single-matmul formulation loses, pulling
-    # the batched MDCT closer to the oracle's f64-twiddle FFT at the
-    # quantizer's knife edges (spectral_quantization.rs:230-263)
-    n_ = np.arange(cfg.nf)[:, None].astype(np.float64)
-    k_ = np.arange(cfg.nf)[None, :].astype(np.float64)
-    dct64 = 2.0 * np.cos(np.pi / cfg.nf * (n_ + 0.5) * (k_ + 0.5))
-    dct_hi = dct64.astype(np.float32)
-    dct_lo = (dct64 - dct_hi.astype(np.float64)).astype(np.float32)
+    # The DCT-IV runs the oracle's kissfft butterfly stages batched over
+    # streams (dsp/fftexact.py) — bit-identical f32 results to the
+    # reference's transform, which removes the matmul-vs-FFT ulp gap at
+    # the quantizer's knife edges (spectral_quantization.rs:230-263)
+    # entirely instead of merely shrinking it (the previous split-
+    # precision matmul basis left a ~14% divergent-frame rate at 150 B).
+    from .fftexact import batched_dct_iv
 
     return EncoderParams(
         cfg=cfg,
-        dct=dct_hi,
-        dct_lo=dct_lo,
+        dct_exact=batched_dct_iv(cfg.nf),
         window=T.mdct_window(cfg).copy(),
         mdct_gain=np.float32(1.0 / np.sqrt(2.0 * cfg.nf)),
         energy_mat=emat,
@@ -234,7 +228,14 @@ def encoder_init(cfg: Lc3Config, n_streams: int) -> EncoderState:
 
 
 def forward_mdct(p: EncoderParams, time_buf, x_s):
-    """Window fold + DCT-IV matmul + band energies + near-Nyquist flag."""
+    """Window fold + bit-exact DCT-IV + band energies + near-Nyquist flag.
+
+    Mirrors the oracle (ref/mdct_enc.py / modified_dct.rs:73-97) f32 op
+    for f32 op. `zero` is the runtime fma-contraction guard (see
+    dsp/fftexact.py): every window product is materialised with the
+    oracle's rounding before the fold subtracts, and the DCT-IV itself is
+    the oracle's kissfft stages batched over streams, so the spectrum is
+    bit-identical to the reference encoder's."""
     nf, z = p.cfg.nf, p.cfg.z
     half = nf // 2
     mid = 3 * half
@@ -242,25 +243,21 @@ def forward_mdct(p: EncoderParams, time_buf, x_s):
         [time_buf[:, nf : 2 * nf - z], x_s.astype(F32), jnp.zeros_like(x_s[:, :z], F32)],
         axis=1,
     )
+    zero = time_buf[0:1, 0:1] * F32(0.0)
+    g = lambda v: v + zero
     w = jnp.asarray(p.window)
     t1 = new_buf[:, mid - half : mid][:, ::-1]
     w1 = w[mid - half : mid][::-1]
     t2 = new_buf[:, mid : mid + half]
     w2 = w[mid : mid + half]
-    first = (-(t1 * w1)) - (t2 * w2)
+    first = (-g(t1 * w1)) - g(t2 * w2)
     t1 = new_buf[:, :half]
     w1 = w[:half]
     t2 = new_buf[:, half:nf][:, ::-1]
     w2 = w[half:nf][::-1]
-    second = (t1 * w1) - (t2 * w2)
+    second = g(t1 * w1) - g(t2 * w2)
     folded = jnp.concatenate([first, second], axis=1)
-    spec = jnp.einsum(
-        "sn,nk->sk", folded, jnp.asarray(p.dct),
-        preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST,
-    ) + jnp.einsum(
-        "sn,nk->sk", folded, jnp.asarray(p.dct_lo),
-        preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST,
-    )
+    spec = p.dct_exact(folded, xp=jnp, zero=zero)
     spec = spec * p.mdct_gain
 
     x = spec[:, : p.cfg.ne]
@@ -625,7 +622,17 @@ def _sns_finish(p: EncoderParams, x, st1, ind_lf, ind_hf, t2rot, d,
         interp = jnp.concatenate([head, tail], axis=1)
     else:
         interp = interp[:, :nb]
-    g_sns = jnp.exp2(-interp)  # encoder path uses exact exp2 (:256)
+    # encoder path uses exact exp2 (spectral_noise_shaping.rs:256). On CPU
+    # this is glibc's exp2f bit-for-bit (dsp/libmexact.py) so the shaped
+    # spectrum — and with it the quantizer/residual knife edges — matches
+    # the oracle exactly; TPU has no f64 and keeps XLA's exp2 (1-4 ulp),
+    # covered by the measured hardware envelope (tools/tpu_parity.py).
+    from . import libmexact
+
+    if jax.default_backend() == "cpu" and libmexact.available():
+        g_sns = libmexact.exp2f_jax(-interp, interp[0:1, 0:1] * F32(0.0))
+    else:
+        g_sns = jnp.exp2(-interp)
     x_shaped = x * g_sns[:, jnp.asarray(p.band_of_line)]
 
     fields = dict(

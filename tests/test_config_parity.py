@@ -87,10 +87,10 @@ def test_encoder_parity(fs, dur, nbytes):
         got = pack_frames(cfg, {k: np.asarray(v) for k, v in fields.items()}, nbytes)[0]
         n_exact += got == want
         dec.decode_frame(16, 0, got)  # divergent frames must stay decodable
-    # all 10 cases measured 15/15 byte-exact after the round-3 precision
-    # work (split DCT basis, divide-once band energies, 8k/7.5ms SNS
-    # narrow-band quirk fix); 0.9 leaves margin for one knife-edge frame
-    assert n_exact >= 0.9 * nframes, f"{n_exact}/{nframes} byte-exact"
+    # byte-exact at every case since the round-3 exactness work (batched
+    # kissfft DCT-IV + glibc-exact exp2f + divide-once band energies +
+    # 8k/7.5ms SNS narrow-band quirk fix)
+    assert n_exact == nframes, f"{n_exact}/{nframes} byte-exact"
 
 
 @pytest.mark.parametrize("dur,nbytes", [(FrameDuration.MS10, 100),

@@ -33,19 +33,18 @@ def test_encode_golden_frame_byte_exact(goldens):
     assert outs[0] == exp and outs[1] == exp
 
 
-@pytest.mark.parametrize("nbytes,min_exact", [(40, 0.98), (80, 0.94), (150, 0.86)])
+@pytest.mark.parametrize("nbytes,min_exact", [(40, 1.0), (80, 1.0), (150, 1.0)])
 def test_encode_parity_and_decodability(nbytes, min_exact):
-    """Byte-exact rate floors are measured-minus-margin (split-precision
-    DCT basis + oracle-order band energies, measured 50/47/43 of 50).
+    """The batched CPU encoder is byte-exact (50/50 at 40/80/150 B).
 
-    The residue at 150 B was root-caused (round 3): every divergent frame
-    differs from the oracle ONLY by 1-2 isolated spectral lines quantized
-    +-1 across the 0.375 offset (and the residual/noise-seed bits that
-    follow from them) — never by a structural decision (gain index, SNS,
-    TNS, bandwidth all agree). That is the irreducible ulp gap between the
-    dense-matmul MDCT and the oracle's FFT ordering hitting
-    spectral_quantization.rs:230-263's knife edge, and it is asserted
-    below as an invariant rather than left as a rate."""
+    Round 3 removed both residual ulp sources: the MDCT now runs the
+    oracle's kissfft stages batched (dsp/fftexact.py, bit-identical per
+    row, fma-contraction-guarded) instead of a dense matmul, and the SNS
+    shaping uses glibc's exp2f bit-for-bit (dsp/libmexact.py) instead of
+    XLA's 1-4-ulp exp2. The knife-edge invariant branch below is kept as
+    a diagnostic: if a future jaxlib defeats the contraction guards (see
+    test_fftexact.test_guard_is_required), divergences reappear as
+    isolated +-1 spectral flips and this explains them precisely."""
     from lc3jax.coding.host import parse_frames
 
     nframes = 10

@@ -80,6 +80,7 @@ def test_tpu_encoder_regression(goldens):
         if e_ref > 1e4 and e_err > 0:
             snr = 10.0 * np.log10(e_ref / e_err)
             assert snr >= 40.0, f"frame {f}: SNR {snr:.1f} dB"
-    # 50/50 byte-exact on CPU and on TPU as of round 2 (the sequential-fold
-    # SNS accumulators closed the knife edges); keep a small margin
-    assert n_exact >= 0.96 * nframes
+    # 50/50 byte-exact since round 2; round 3's bit-exact MDCT + exp2f
+    # (dsp/fftexact.py, dsp/libmexact.py) make exactness by-construction
+    # on CPU, so assert it outright
+    assert n_exact == nframes

@@ -59,6 +59,6 @@ def test_variable_rate_encode_decodable_and_mostly_exact():
         assert len(got) == nbytes
         n_exact += got == want
         dec_oracle.decode_frame(16, 0, got)  # every payload must decode
-    # floor raised from 0.6 after the round-3 precision work (split DCT,
-    # divide-once band energies); verified green at 0.8 on this content
-    assert n_exact >= 0.8 * len(RATE_PLAN)
+    # byte-exact across the whole rate plan since the round-3 exactness
+    # work (batched kissfft DCT-IV + glibc-exact exp2f)
+    assert n_exact == len(RATE_PLAN)
