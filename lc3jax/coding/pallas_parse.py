@@ -17,6 +17,19 @@ packed spec tables (the 4 per-level model indices in one int32, cumfreq
 rows as 3x10-bit fields), and the escape ladder is a `lax.while_loop` that
 exits as soon as no lane is still escaping.
 
+Round-3 serial-core cuts (all bit-exact vs the round-2 kernel):
+- level 0 of the escape ladder is peeled out of the while loop (every
+  in-range tuple decodes at least one symbol), so the loop's cross-lane
+  `jnp.any` cond — ~1 us per evaluation on v5e — runs once per tuple
+  instead of 2+ times;
+- every span that consumes <= 32 tail bits between rolls (a tuple's lsb +
+  sign pulls, a residual chunk, an lsb-refinement chunk) serves its bits
+  from a two-word register window loaded once per span, replacing the
+  per-bit 8-row funnel reductions with row-op shifts;
+- the tuple / residual / refinement loops take SMEM scalar trip bounds
+  (batch-max lastnz, any-lsb), so the kernel stops at the content's real
+  spectral occupancy instead of always walking all ne lines.
+
 Split of labor (all bit-exact vs coding/device.py and the host parsers,
 fuzz-tested in tests/test_fuzz_bitstream.py):
 - XLA: side-info demux via `_WordTailReader` (funnel, no gathers), MPVQ
@@ -145,7 +158,7 @@ def _tns_tables(lpcw: int):
 
 def _parse_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
                   lpcw: int,
-                  hw_ref, tw_ref, side_ref, pkb_ref, cumb_ref,
+                  bounds_ref, hw_ref, tw_ref, side_ref, pkb_ref, cumb_ref,
                   x_ref, res_ref, tns_ref, misc_ref,
                   hwb, twb, xs, slev, st):
     NT = ne // 2
@@ -168,6 +181,7 @@ def _parse_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
     st[...] = jnp.zeros((24, lanes), I32)
     xs[...] = jnp.zeros((xs.shape[0], lanes), I32)
     slev[...] = jnp.zeros((slev.shape[0], lanes), I32)
+    res_ref[...] = jnp.zeros((res_ref.shape[0], lanes), I32)
     st[TOFF, :] = side_ref[5, :]
     st[CURSOR, :] = side_ref[6, :]
 
@@ -178,11 +192,62 @@ def _parse_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
         w = jnp.sum(jnp.where(iota32w == wi[None, :], hwb[0:32, :], 0), axis=0)
         return (w >> ((ofs & 3) * 8)) & 255
 
-    def tail_bit(ofs):
-        """bit at `ofs` bits into the tail window [lanes]."""
-        wi = ofs >> 5
-        w = jnp.sum(jnp.where(iota8w == wi[None, :], twb[0:8, :], 0), axis=0)
-        return (w >> (ofs & 31)) & 1
+    def tail_window():
+        """Two-word register window over the tail funnel at the current
+        cursor. Any code span that consumes <= 32 tail bits between
+        roll_tail()s (a spectral tuple: <= 14 lsb pairs + 2 signs = 30; a
+        residual chunk: 16; an lsb-refinement chunk: 32) can load the
+        window once (two 8-row masked sums) and serve every pull with
+        row-op shifts — no per-bit funnel reduction."""
+        t0 = st[TOFF, :]
+        wi = t0 >> 5
+        w0 = jnp.sum(jnp.where(iota8w == wi[None, :], twb[0:8, :], 0), axis=0)
+        w1 = jnp.sum(
+            jnp.where(iota8w == (wi + 1)[None, :], twb[0:8, :], 0), axis=0
+        )
+        base = wi << 5
+
+        def bit_at(ofs):
+            d = ofs - base
+            lo = (w0 >> jnp.minimum(d, 31)) & 1
+            hi = (w1 >> jnp.maximum(d - 32, 0)) & 1
+            return jnp.where(d < 32, lo, hi)
+
+        return bit_at
+
+    def make_pullers(bit_at):
+        def pull1(do):
+            """one tail bit (mirrors device.tail_bit: value masked by
+            `do`, overrun check vs the head cursor)."""
+            byte_index = st[CURSOR, :] >> 3
+            st[ERR, :] = st[ERR, :] | jnp.where(
+                do & (nbytes - st[HEADCNT, :] - byte_index + 2 < 0), 1, 0
+            )
+            bit = (bit_at(st[TOFF, :]) > 0) & do
+            st[TOFF, :] = st[TOFF, :] + jnp.where(do, 1, 0)
+            st[CURSOR, :] = st[CURSOR, :] + jnp.where(do, 1, 0)
+            return bit
+
+        def pull2(a_on, b_on):
+            """two tail bits in stream order with independent masks. The
+            overrun check collapses to the last consumed bit's byte index:
+            the check is monotone in the byte index and HEADCNT is
+            constant across the pair, so the per-bit OR equals it."""
+            na = jnp.where(a_on, 1, 0)
+            adv = na + jnp.where(b_on, 1, 0)
+            on = a_on | b_on
+            byte_index = (st[CURSOR, :] + adv - 1) >> 3
+            st[ERR, :] = st[ERR, :] | jnp.where(
+                on & (nbytes - st[HEADCNT, :] - byte_index + 2 < 0), 1, 0
+            )
+            t = st[TOFF, :]
+            bit_a = a_on & (bit_at(t) > 0)
+            bit_b = b_on & (bit_at(t + na) > 0)
+            st[TOFF, :] = t + adv
+            st[CURSOR, :] = st[CURSOR, :] + adv
+            return bit_a, bit_b
+
+        return pull1, pull2
 
     def roll_head():
         wsh = st[HOFF, :] >> 2
@@ -209,18 +274,6 @@ def _parse_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
         st[HOFF, :] = st[HOFF, :] + jnp.where(need, 1, 0)
         st[HEADCNT, :] = st[HEADCNT, :] + jnp.where(need, 1, 0)
         return byte
-
-    def pull_tail(do):
-        """one tail bit (mirrors device.tail_bit: value masked by `do`,
-        overrun check vs the head cursor)."""
-        byte_index = st[CURSOR, :] >> 3
-        st[ERR, :] = st[ERR, :] | jnp.where(
-            do & (nbytes - st[HEADCNT, :] - byte_index + 2 < 0), 1, 0
-        )
-        bit = (tail_bit(st[TOFF, :]) > 0) & do
-        st[TOFF, :] = st[TOFF, :] + jnp.where(do, 1, 0)
-        st[CURSOR, :] = st[CURSOR, :] + jnp.where(do, 1, 0)
-        return bit
 
     def renorm(active, new_low, new_rng):
         for _ in range(2):  # at most two byte pulls per symbol
@@ -282,6 +335,43 @@ def _parse_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
         tns_ref[r_, :] = jnp.zeros((lanes,), I32)
 
     # ---- spectral tuples (arithmetic_codec.rs:211-305) --------------------
+    def decode_level(pki, going):
+        """range-decode one 17-symbol spectral model draw for the lanes in
+        `going`; cum-row fetch on the MXU (one-hot x byte-split table,
+        exact); everything downstream is row-vectorized [17, L] f32
+        (products < 2^24, so the f32 integer arithmetic is exact)."""
+        ohp = (iota64 == pki[None, :]).astype(jnp.bfloat16)
+        bhl = jax.lax.dot_general(
+            cumb_ref[0:34, :].astype(jnp.bfloat16), ohp,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # [34, L] f32: rows 0..16 hi bits, 17..33 lo byte
+        cums_f = bhl[0:17, :] * 256.0 + bhl[17:34, :]  # [17, L] exact ints
+        low = st[LOW, :]
+        rng = st[RNG, :]
+        tmp16 = rng >> 10
+        st[ERR, :] = st[ERR, :] | jnp.where(
+            going & (low >= (tmp16 << 10)), 1, 0
+        )
+        tmp16_f = tmp16.astype(jnp.float32)
+        low_f = low.astype(jnp.float32)
+        geB = low_f[None, :] >= tmp16_f[None, :] * cums_f  # [17, L]
+        val = jnp.sum(jnp.where(geB[1:17, :], 1, 0), axis=0)
+        diff = cums_f[1:17, :] - cums_f[0:16, :]
+        cum_vf = jnp.sum(jnp.where(geB[1:17, :], diff, 0.0), axis=0)
+        iota16v = jax.lax.broadcasted_iota(I32, (16, lanes), 0)
+        nxt_f = jnp.sum(
+            jnp.where(iota16v == val[None, :], cums_f[1:17, :], 0.0),
+            axis=0,
+        ) + jnp.where(val >= 16, 1024.0, 0.0)
+        cum_v = cum_vf.astype(I32)
+        frq_v = nxt_f.astype(I32) - cum_v
+        new_low = low - tmp16 * cum_v
+        new_rng = tmp16 * frq_v
+        new_low, new_rng = renorm(going, new_low, new_rng)
+        st[LOW, :] = jnp.where(going, new_low, low)
+        st[RNG, :] = jnp.where(going, new_rng, rng)
+        return val
+
     def spec_tuple(p):
         n = 2 * p
         in_range = (n < lastnz) & ~bad0
@@ -292,15 +382,26 @@ def _parse_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
         ohc = iota256 == st[CTX, :][None, :]
         col = pkb_ref[pl.ds(hi_off, 256), :]  # [256, 1]
         pk4p = jnp.sum(jnp.where(ohc, col, 0), axis=0)
-        st[PKI4, :] = pk4p & 255
         st[PKI4 + 1, :] = (pk4p >> 8) & 255
         st[PKI4 + 2, :] = (pk4p >> 16) & 255
         st[PKI4 + 3, :] = (pk4p >> 24) & 255
-        st[GOING, :] = jnp.where(in_range, 1, 0)
-        st[LEV, :] = jnp.zeros((lanes,), I32)
-        st[XK, :] = jnp.zeros((lanes,), I32)
-        st[XK1, :] = jnp.zeros((lanes,), I32)
-        st[SYM, :] = jnp.zeros((lanes,), I32)
+
+        bit_at = tail_window()
+        _, pull2 = make_pullers(bit_at)
+
+        # level 0, peeled out of the while loop: every in-range tuple
+        # decodes at least one symbol, so running it straight-line costs
+        # nothing extra and drops the loop's cross-lane `jnp.any` cond
+        # from ~2+ evaluations per tuple to exactly one
+        val0 = decode_level(pk4p & 255, in_range)
+        st[SYM, :] = jnp.where(in_range, val0, 0)
+        esc0 = in_range & (val0 >= 16)
+        read0 = esc0 & ~lsb_mode
+        bit_a0, bit_b0 = pull2(read0, read0)
+        st[XK, :] = jnp.where(bit_a0, 1, 0)
+        st[XK1, :] = jnp.where(bit_b0, 1, 0)
+        st[LEV, :] = jnp.where(esc0, 1, 0)
+        st[GOING, :] = jnp.where(esc0, 1, 0)
 
         def ladder_cond(it):
             return (it < 14) & jnp.any(st[GOING, :] > 0)
@@ -309,55 +410,21 @@ def _parse_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
             going = st[GOING, :] > 0
             lev4 = jnp.minimum(it, 3)
             pki = jnp.where(
-                lev4 == 0, st[PKI4, :],
-                jnp.where(lev4 == 1, st[PKI4 + 1, :],
-                          jnp.where(lev4 == 2, st[PKI4 + 2, :], st[PKI4 + 3, :])),
+                lev4 == 1, st[PKI4 + 1, :],
+                jnp.where(lev4 == 2, st[PKI4 + 2, :], st[PKI4 + 3, :]),
             )
-            # cum-row fetch on the MXU: one-hot x byte-split table (exact);
-            # everything downstream is row-vectorized [17, L] f32 (products
-            # < 2^24, so the f32 integer arithmetic is exact)
-            ohp = (iota64 == pki[None, :]).astype(jnp.bfloat16)
-            bhl = jax.lax.dot_general(
-                cumb_ref[0:34, :].astype(jnp.bfloat16), ohp,
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            )  # [34, L] f32: rows 0..16 hi bits, 17..33 lo byte
-            cums_f = bhl[0:17, :] * 256.0 + bhl[17:34, :]  # [17, L] exact ints
-            low = st[LOW, :]
-            rng = st[RNG, :]
-            tmp16 = rng >> 10
-            st[ERR, :] = st[ERR, :] | jnp.where(
-                going & (low >= (tmp16 << 10)), 1, 0
-            )
-            tmp16_f = tmp16.astype(jnp.float32)
-            low_f = low.astype(jnp.float32)
-            geB = low_f[None, :] >= tmp16_f[None, :] * cums_f  # [17, L]
-            val = jnp.sum(jnp.where(geB[1:17, :], 1, 0), axis=0)
-            diff = cums_f[1:17, :] - cums_f[0:16, :]
-            cum_vf = jnp.sum(jnp.where(geB[1:17, :], diff, 0.0), axis=0)
-            iota16v = jax.lax.broadcasted_iota(I32, (16, lanes), 0)
-            nxt_f = jnp.sum(
-                jnp.where(iota16v == val[None, :], cums_f[1:17, :], 0.0),
-                axis=0,
-            ) + jnp.where(val >= 16, 1024.0, 0.0)
-            cum_v = cum_vf.astype(I32)
-            frq_v = nxt_f.astype(I32) - cum_v
-            new_low = low - tmp16 * cum_v
-            new_rng = tmp16 * frq_v
-            new_low, new_rng = renorm(going, new_low, new_rng)
-            st[LOW, :] = jnp.where(going, new_low, low)
-            st[RNG, :] = jnp.where(going, new_rng, rng)
+            val = decode_level(pki, going)
             st[SYM, :] = jnp.where(going, val, st[SYM, :])
             esc = going & (val >= 16)
-            read_lsbs = esc & (~lsb_mode | (it > 0))
-            bit_a = pull_tail(read_lsbs)
-            bit_b = pull_tail(read_lsbs)
-            st[XK, :] = st[XK, :] + jnp.where(read_lsbs & bit_a, 1 << it, 0)
-            st[XK1, :] = st[XK1, :] + jnp.where(read_lsbs & bit_b, 1 << it, 0)
+            # read_lsbs = esc & (~lsb_mode | (it > 0)) = esc here (it >= 1)
+            bit_a, bit_b = pull2(esc, esc)
+            st[XK, :] = st[XK, :] + jnp.where(bit_a, 1 << it, 0)
+            st[XK1, :] = st[XK1, :] + jnp.where(bit_b, 1 << it, 0)
             st[LEV, :] = jnp.where(esc, st[LEV, :] + 1, st[LEV, :])
             st[GOING, :] = jnp.where(esc, 1, 0)
             return it + 1
 
-        jax.lax.while_loop(ladder_cond, ladder_body, 0)
+        jax.lax.while_loop(ladder_cond, ladder_body, 1)
 
         lev = st[LEV, :]
         sym = st[SYM, :]
@@ -365,9 +432,8 @@ def _parse_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
         b = sym >> 2
         xk = st[XK, :] + jnp.where(in_range, a << lev, 0)
         xk1 = st[XK1, :] + jnp.where(in_range, b << lev, 0)
-        sbit_a = pull_tail(in_range & (xk > 0))
+        sbit_a, sbit_b = pull2(in_range & (xk > 0), in_range & (xk1 > 0))
         xk = jnp.where(sbit_a, -xk, xk)
-        sbit_b = pull_tail(in_range & (xk1 > 0))
         xk1 = jnp.where(sbit_b, -xk1, xk1)
         xs[pl.ds(2 * p, 1), :] = xk[None, :]
         xs[pl.ds(2 * p + 1, 1), :] = xk1[None, :]
@@ -386,7 +452,10 @@ def _parse_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
         roll_tail()
         return 0
 
-    jax.lax.fori_loop(0, NT // 4, spec_quad, 0)
+    # dynamic trip count: tuples past the batch-max lastnz are all-lanes
+    # inactive no-ops (state rows untouched, outputs pre-zeroed), so the
+    # XLA-computed SMEM bound skips them outright
+    jax.lax.fori_loop(0, bounds_ref[0], spec_quad, 0)
     for p_ in range(NT - (NT // 4) * 4):
         spec_tuple((NT // 4) * 4 + p_)
     roll_head()
@@ -406,25 +475,35 @@ def _parse_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
     # ---- residual bits, non-lsb path (one bit per nonzero line) -----------
     st[CNT, :] = jnp.zeros((lanes,), I32)  # bits consumed
     base_cursor = st[CURSOR, :]
-    nep8 = -(-ne // 16)
-    for ci in range(nep8):
+
+    def res_line(line, bit_at):
+        xv = xs[pl.ds(line, 1), :][0, :]
+        can = (xv != 0) & (st[CNT, :] < nres) & ~lsb_mode
+        byte_index = (base_cursor + st[CNT, :]) >> 3
+        st[ERR, :] = st[ERR, :] | jnp.where(
+            can & (nbytes - st[HEADCNT, :] - byte_index + 2 < 0), 1, 0
+        )
+        bit = (bit_at(st[TOFF, :]) > 0) & can
+        res_ref[pl.ds(line, 1), :] = jnp.where(bit, 1, 0)[None, :]
+        st[TOFF, :] = st[TOFF, :] + jnp.where(can, 1, 0)
+        st[CNT, :] = st[CNT, :] + jnp.where(can, 1, 0)
+
+    def res_chunk(ci, _):
+        bit_at = tail_window()  # <= 16 bits per chunk: one window load
         for j in range(16):
-            line = ci * 16 + j
-            if line >= ne:
-                break
-            xv = xs[line, :]
-            can = (xv != 0) & (st[CNT, :] < nres) & ~lsb_mode
-            byte_index = (base_cursor + st[CNT, :]) >> 3
-            st[ERR, :] = st[ERR, :] | jnp.where(
-                can & (nbytes - st[HEADCNT, :] - byte_index + 2 < 0), 1, 0
-            )
-            bit = (tail_bit(st[TOFF, :]) > 0) & can
-            res_ref[line, :] = jnp.where(bit, 1, 0)
-            st[TOFF, :] = st[TOFF, :] + jnp.where(can, 1, 0)
-            st[CNT, :] = st[CNT, :] + jnp.where(can, 1, 0)
+            res_line(ci * 16 + j, bit_at)
         roll_tail()
-    for line in range(ne, x_ref.shape[0]):
-        res_ref[line, :] = jnp.zeros((lanes,), I32)
+        return 0
+
+    # residual bits only come from nonzero lines, all below lastnz: the
+    # SMEM bound (batch-max lastnz over non-lsb frames, in 16-line chunks)
+    # skips the rest of the spectrum
+    jax.lax.fori_loop(0, bounds_ref[1], res_chunk, 0)
+    if ne % 16:
+        bit_at = tail_window()
+        for line in range((ne // 16) * 16, ne):
+            res_line(line, bit_at)
+        roll_tail()
     n_residual = jnp.where(lsb_mode, 0, st[CNT, :])
 
     # ---- lsb refinement (mutates x; arithmetic_codec.rs:160-208) ----------
@@ -432,33 +511,42 @@ def _parse_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
     budget = jnp.where(lsb_mode, nres, 0)
     st[CNT, :] = budget
 
-    def lsb_one(idx, pair_on):
+    def lsb_one(idx, pair_on, pull1):
         can = pair_on & (st[CNT, :] > 0)
-        b1 = pull_tail(can)
+        b1 = pull1(can)
         st[CNT, :] = st[CNT, :] - jnp.where(can, 1, 0)
-        xv = xs[idx, :]
+        xv = xs[pl.ds(idx, 1), :][0, :]
         pos_v = can & b1 & (xv > 0)
         neg_v = can & b1 & (xv < 0)
         zer_v = can & b1 & (xv == 0)
         can2 = zer_v & (st[CNT, :] > 0)
-        b2 = pull_tail(can2)
+        b2 = pull1(can2)
         st[CNT, :] = st[CNT, :] - jnp.where(can2, 1, 0)
         new_xv = jnp.where(pos_v, xv + 1, xv)
         new_xv = jnp.where(neg_v, new_xv - 1, new_xv)
         new_xv = jnp.where(can2, jnp.where(b2, -1, 1), new_xv)
-        xs[idx, :] = new_xv
+        xs[pl.ds(idx, 1), :] = new_xv[None, :]
 
-    ntp8 = -(-NT // 8)
-    for ci in range(ntp8):
+    def lsb_chunk(ci, _):
+        bit_at = tail_window()  # <= 8 pairs x 4 bits = 32 per chunk
+        pull1, _ = make_pullers(bit_at)
         for j in range(8):
             p = ci * 8 + j
-            if p >= NT:
-                break
             n = 2 * p
-            pair_on = lsb_mode & (n < lastnz) & ~bad_pre & (slev[p, :] > 0)
-            lsb_one(n, pair_on)
-            lsb_one(n + 1, pair_on)
+            # pairs past NT read/write zero-initialized pad rows of xs and
+            # mask off via n >= lastnz, so no static guard is needed
+            pair_on = (
+                lsb_mode & (n < lastnz) & ~bad_pre
+                & (slev[pl.ds(p, 1), :][0, :] > 0)
+            )
+            lsb_one(n, pair_on, pull1)
+            lsb_one(n + 1, pair_on, pull1)
         roll_tail()
+        return 0
+
+    # SMEM bound: 0 when no lane is in lsb mode, else the batch-max pair
+    # count in 8-pair chunks
+    jax.lax.fori_loop(0, bounds_ref[2], lsb_chunk, 0)
 
     # ---- outputs ----------------------------------------------------------
     x_ref[...] = xs[...]
@@ -470,7 +558,7 @@ def _parse_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
 
 
 def _run_kernel(cfg: Lc3Config, nbytes: int, headwords, tailwords, side_rows,
-                interpret: bool = False):
+                bounds, interpret: bool = False):
     ne = cfg.ne
     S = headwords.shape[0]
     nbits = nbytes * 8
@@ -503,6 +591,7 @@ def _run_kernel(cfg: Lc3Config, nbytes: int, headwords, tailwords, side_rows,
         ),
         grid=(S // lanes,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((nwp, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((nwp, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -523,7 +612,7 @@ def _run_kernel(cfg: Lc3Config, nbytes: int, headwords, tailwords, side_rows,
             pltpu.VMEM((24, lanes), I32),   # state rows
         ],
         interpret=interpret,
-    )(hw.T, tw.T, side_rows, jnp.asarray(pkb), jnp.asarray(cumb))
+    )(bounds, hw.T, tw.T, side_rows, jnp.asarray(pkb), jnp.asarray(cumb))
     return x_t, res_t, tns_t, misc_t
 
 
@@ -571,8 +660,24 @@ def device_parse_pallas(cfg: Lc3Config, nbytes: int, payloads: jax.Array,
         ]
     )
 
+    # SMEM scalar trip bounds (data-adaptive, exact): tuples/chunks past
+    # every good lane's lastnz are all-lane no-ops, so the kernel's serial
+    # loops stop at the batch maxima instead of ne
+    NT = ne // 2
+    nzg = jnp.where(bad, 0, lastnz)
+    max_pairs = jnp.max(nzg) >> 1  # lastnz is even by construction
+    quads = jnp.minimum((max_pairs + 3) >> 2, NT // 4)
+    nz_res = jnp.max(jnp.where(bad | lsb_mode, 0, lastnz))
+    res_chunks = jnp.minimum((nz_res + 15) >> 4, ne // 16)
+    lsb_pairs = jnp.max(jnp.where(bad | ~lsb_mode, 0, lastnz)) >> 1
+    lsb_chunks = jnp.minimum((lsb_pairs + 7) >> 3, -(-NT // 8))
+    bounds = jnp.stack(
+        [quads, res_chunks, lsb_chunks] + [jnp.zeros((), I32)] * 5
+    ).astype(I32)
+
     x_t, res_t, tns_t, misc_t = _run_kernel(
-        cfg, nbytes, headwords, tailwords, side_rows, interpret=interpret
+        cfg, nbytes, headwords, tailwords, side_rows, bounds,
+        interpret=interpret
     )
     x = x_t[:ne].T
     residual_bits = res_t[:ne].T > 0
