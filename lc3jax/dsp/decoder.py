@@ -32,6 +32,12 @@ from .params import DecoderParams, decoder_params
 
 F32 = jnp.float32
 
+# Stream-axis chunk width for the LTPF at large batch: the lax.scan LTPF's
+# per-block slabs spill VMEM beyond ~4096 streams, so decode_step runs it in
+# chunks of this width (module constant so tests can exercise the chunked
+# path at CPU-sized batches).
+_LTPF_CHUNK = 4096
+
 
 @jax.tree_util.register_dataclass
 @dataclass
@@ -368,28 +374,32 @@ def decode_step(
     # the xprof profiler, so it is opt-in via ltpf_use_pallas until the
     # toolchain catches up. Beyond S=4096 the scan path's per-block slabs
     # spill VMEM; LTPF is elementwise in the stream axis, so large batches
-    # run it in S<=4096 chunks (lax.map) — each chunk stays VMEM-resident
+    # run it in S<=_LTPF_CHUNK chunks — each chunk stays VMEM-resident
     # and the spill disappears without the Pallas kernel.
     S_here = frames.x_int.shape[0]
     ltpf_active_v = frames.ltpf_active & ~frames.bad_frame
     pitch_v = jnp.where(frames.bad_frame, 0, frames.pitch_index)
     use_pl = ltpf_use_pallas and S_here % 256 == 0
-    if not use_pl and S_here > 4096 and S_here % 4096 == 0:
-        nch = S_here // 4096
-
-        def chunk(args):
-            st_c, t_c, act_c, pit_c = args
-            y_c, ns_c = ltpf_run(p, st_c, t_c, nbits, act_c, pit_c)
-            return y_c, ns_c
-
-        resh = lambda a: a.reshape((nch, 4096) + a.shape[1:])
-        st_ch = jax.tree_util.tree_map(resh, state.ltpf)
-        t2, new_ltpf = jax.lax.map(
-            chunk, (st_ch, resh(t), resh(ltpf_active_v), resh(pitch_v))
-        )
-        t = t2.reshape(S_here, -1)
-        unresh = lambda a: a.reshape((S_here,) + a.shape[2:])
-        new_ltpf = jax.tree_util.tree_map(unresh, new_ltpf)
+    ch = _LTPF_CHUNK
+    if not use_pl and S_here > ch and S_here % ch == 0:
+        # Unrolled static chunks, NOT lax.map: the while-loop lowering of
+        # lax.map moved each chunk in/out of stacked HBM buffers via
+        # dynamic_update_slice (4.6 ms/step of pure copy at S=8192);
+        # static slices + concatenate let XLA schedule the chunks back to
+        # back with no staging traffic. The chunk count is static and small
+        # (2-8), so the unroll costs nothing at trace time.
+        nch = S_here // ch
+        ys, states = [], []
+        for i in range(nch):
+            sl = slice(i * ch, (i + 1) * ch)
+            st_c = jax.tree_util.tree_map(lambda a: a[sl], state.ltpf)
+            y_c, ns_c = ltpf_run(p, st_c, t[sl], nbits,
+                                 ltpf_active_v[sl], pitch_v[sl])
+            ys.append(y_c)
+            states.append(ns_c)
+        t = jnp.concatenate(ys, axis=0)
+        new_ltpf = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *states)
     else:
         t, new_ltpf = ltpf_run(
             p, state.ltpf, t, nbits, ltpf_active_v, pitch_v,

@@ -139,3 +139,40 @@ def test_32khz_7p5ms_ltpf_parity():
         d = np.abs(np.asarray(pcm)[0].astype(int) - ref.astype(int))
         assert d.max() <= 1, f"frame {f}: {d.max()}"
     assert ltpf_seen, "test content failed to activate the LTPF"
+
+
+def test_ltpf_chunked_path_bit_exact(monkeypatch):
+    """Large-batch decode runs the LTPF in _LTPF_CHUNK-stream chunks
+    (decoder.py: static unrolled slices, VMEM-resident per chunk). The
+    chunked program must be bit-identical to the unchunked one; shrink the
+    chunk width so a CPU-sized batch exercises the path, LTPF active, with
+    carried state across frames."""
+    import lc3jax.dsp.decoder as D
+
+    cfg = Lc3Config.new(32000, FrameDuration.MS7P5)
+    nbytes = 60
+    nframes = 6
+    S = 8
+    t = np.arange(nframes * cfg.nf) / cfg.fs
+    sig = (8000 * np.sin(2 * np.pi * 180 * t)).astype(np.int16)
+    enc = Lc3Encoder(1, FrameDuration.MS7P5, 32000)
+    payloads = [bytes(enc.encode_frame(0, sig[f * cfg.nf : (f + 1) * cfg.nf], nbytes))
+                for f in range(nframes)]
+
+    def run():
+        state = decoder_init(cfg, S)
+        step = jax.jit(lambda st, fr: D.decode_step(cfg, nbytes * 8, st, fr))
+        out = []
+        ltpf_seen = False
+        for f in range(nframes):
+            frames = parse_frames(cfg, [payloads[f]] * S)
+            ltpf_seen |= bool(np.asarray(frames.ltpf_active).any())
+            state, pcm = step(state, frames)
+            out.append(np.asarray(pcm))
+        assert ltpf_seen
+        return np.stack(out)
+
+    ref = run()  # unchunked: S=8 <= default chunk width
+    monkeypatch.setattr(D, "_LTPF_CHUNK", 4)
+    got = run()  # chunked: two 4-stream chunks
+    np.testing.assert_array_equal(got, ref)
