@@ -20,7 +20,29 @@ import time
 import numpy as np
 
 
+def _host_best_of(fn, iters: int) -> float:
+    """Best-of-N wall time for a host-side stage: the minimum is the
+    contention-robust estimator (any other process stealing the core only
+    ever inflates a sample, never deflates it)."""
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
+    # defend the host-side numbers against a loaded machine (a stale test
+    # process halved the round-3 committed host figures): if the 1-minute
+    # load average says another process owns the core, wait once for it to
+    # drain before measuring, and always record the load in the output
+    load_at_start = os.getloadavg()
+    waited_s = 0.0
+    if load_at_start[0] > 0.75:
+        time.sleep(45.0)
+        waited_s = 45.0
+
     import jax
 
     from lc3jax.coding import native
@@ -52,15 +74,18 @@ def main() -> None:
     ).reshape(n_streams, nbytes)
     pcm_batch = np.stack([contents[s % 4] for s in range(n_streams)])
 
-    # ---- host bitstream parse (native C++)
+    # ---- host bitstream parse (native C++), best-of-N (contention-robust)
     use_native = native.available()
     if use_native:
         native.parse_frames_native(cfg, batch_bytes[:8])  # warm
-        t0 = time.perf_counter()
-        iters_h = 10
-        for _ in range(iters_h):
-            frames = native.parse_frames_native(cfg, batch_bytes, n_threads=os.cpu_count() or 1)
-        host_parse_s = (time.perf_counter() - t0) / iters_h
+        frames = native.parse_frames_native(cfg, batch_bytes,
+                                            n_threads=os.cpu_count() or 1)
+        host_parse_s = _host_best_of(
+            lambda: native.parse_frames_native(
+                cfg, batch_bytes, n_threads=os.cpu_count() or 1
+            ),
+            iters=12,
+        )
     else:
         t0 = time.perf_counter()
         frames = parse_frames(cfg, [bytes(r) for r in batch_bytes])
@@ -98,11 +123,12 @@ def main() -> None:
     if use_native:
         fields_h = {k: np.asarray(v) for k, v in fields.items()}
         native.pack_frames_native(cfg, fields_h, nbytes)  # warm
-        t0 = time.perf_counter()
-        for _ in range(5):
-            native.pack_frames_native(cfg, fields_h, nbytes,
-                                      n_threads=os.cpu_count() or 1)
-        host_pack_s = (time.perf_counter() - t0) / 5
+        host_pack_s = _host_best_of(
+            lambda: native.pack_frames_native(
+                cfg, fields_h, nbytes, n_threads=os.cpu_count() or 1
+            ),
+            iters=8,
+        )
         pack_rtf = n_streams * frame_seconds / host_pack_s
     else:
         pack_rtf = 0.0
@@ -150,6 +176,9 @@ def main() -> None:
             "host_pipelined_x_realtime": round(pipelined_rtf, 0),
             "host_parse_native": use_native,
             "host_cores": os.cpu_count(),
+            "loadavg_at_start": [round(x, 2) for x in load_at_start],
+            "loadavg_at_end": [round(x, 2) for x in os.getloadavg()],
+            "waited_for_idle_s": waited_s,
             "decode_step_ms": round(dec_s * 1e3, 3),
             "encode_step_ms": round(enc_s * 1e3, 3),
         },

@@ -406,7 +406,11 @@ def sns_analysis(p: EncoderParams, x, e_b, attack, use_pallas: bool | None = Non
     att = att.at[:, 14].set((ds[:, 12] + ds[:, 13] + ds[:, 14] + ds[:, 15]) / F32(4.0))
     att = att.at[:, 15].set((ds[:, 13] + ds[:, 14] + ds[:, 15]) / F32(3.0))
     atten = F32(0.5) if p.cfg.n_ms == FrameDuration.MS10 else F32(0.3)
-    att = atten * (att - jnp.mean(att, axis=1, keepdims=True))
+    # the scale-factor mean is a sequential f32 fold in the reference
+    # (spectral_noise_shaping.rs:149-151 sum()); jnp.mean reduces in an
+    # unspecified order and was the last byte-parity divergence on the
+    # attack path
+    att = atten * (att - _seq_fold(att, 1)[:, None] / F32(16.0))
     scf = jnp.where(attack[:, None], att, ds)
 
     # ---- stage 1: codebook MSE search

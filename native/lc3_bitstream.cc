@@ -35,14 +35,33 @@ static int16_t g_ac_tns_order_cumfreq[2][8];
 static int16_t g_ac_tns_coef_freq[8][17];
 static int16_t g_ac_tns_coef_cumfreq[8][17];
 static int32_t g_mpvq_offsets[16][11];
-static uint64_t g_recip14[16384];
+// Normalized reciprocals for the range-decoder quotient: ceil(2^38 / d)
+// for d in [2^13, 2^14), 8192 x uint32 = 32 KB (L1-resident; the previous
+// 16384 x uint64 = 128 KB table lived in L2 and its ~14-cycle load sat on
+// the per-symbol serial chain). Any tmp in [2^6, 2^14) normalizes into
+// the table's range with a clz shift, applied equally to the dividend.
+static uint32_t g_recip13[8192];
 // quotient -> fused spectral-model entry (256 KB, L2-resident), indexed by
-// q = floor(low/tmp) computed via the reciprocal table (exact: the
-// per-symbol multiply walk-down of reference arithmetic_codec.rs:81-84
-// satisfies tmp*cumfreq[val] <= low iff cumfreq[val] <= q). Each entry
-// packs val (5b) | cumfreq[val] (10b) | freq[val] (11b) in one uint32, so
-// the serial decode chain pays a single dependent load after the quotient.
+// q = floor(low/tmp) (exact: the per-symbol multiply walk-down of
+// reference arithmetic_codec.rs:81-84 satisfies tmp*cumfreq[val] <= low
+// iff cumfreq[val] <= q). Each entry packs val (5b) | cumfreq[val] (10b)
+// | freq[val] (11b) in one uint32, so the serial decode chain pays a
+// single dependent load after the quotient.
 static uint32_t g_spec_ent[64][1024];
+
+// Exact floor(low / tmp) for tmp in [2^6, 2^14) and low < tmp << 10 (the
+// range decoder checks exactly this before dividing). Normalize tmp to
+// d = tmp << s in [2^13, 2^14) and scale the dividend by the same shift:
+// floor(low/tmp) = floor((low << s) / d). With M = ceil(2^38/d):
+//   floor((low<<s) * M >> 38) == floor((low<<s)/d)
+// because the error term (low<<s)*(M*d - 2^38)/(d*2^38) < (low<<s)/2^38
+// < d*2^10/2^38 = d/2^28 < 1/d (d^2 < 2^28), so it can never push the
+// product past the next integer boundary. low << s < 2^31 fits uint32.
+static inline uint32_t quot10(uint32_t low, uint32_t tmp) {
+  unsigned s = unsigned(__builtin_clz(tmp)) - 18u;
+  uint32_t d = tmp << s;
+  return uint32_t((uint64_t(low << s) * g_recip13[d - 8192u]) >> 38);
+}
 
 struct Reader {
   const uint8_t* buf;
@@ -177,7 +196,7 @@ struct RangeDec {
   int decode(Reader& r, const int16_t* cumfreq, const int16_t* freq, int n) {
     uint32_t tmp = range >> 10;
     if (low >= (tmp << 10)) { error = true; return 0; }
-    uint32_t q = uint32_t((uint64_t(low) * g_recip14[tmp]) >> 38);
+    uint32_t q = quot10(low, tmp);
     int val = n - 1;
     while (uint32_t(cumfreq[val]) > q) val--;
     low -= tmp * uint32_t(cumfreq[val]);
@@ -197,7 +216,7 @@ struct RangeDec {
   int decode_spec(Reader& r, int pki) {
     uint32_t tmp = range >> 10;
     if (low >= (tmp << 10)) { error = true; return 0; }
-    uint32_t e = g_spec_ent[pki][(uint64_t(low) * g_recip14[tmp]) >> 38];
+    uint32_t e = g_spec_ent[pki][quot10(low, tmp)];
     int val = int(e & 31u);
     low -= tmp * ((e >> 5) & 1023u);
     range = tmp * (e >> 15);
@@ -384,7 +403,7 @@ static inline void hot_store(const SpecHot& h, FrameCtx& f) {
 static inline int hot_sym(SpecHot& h, const uint8_t* buf, int len) {
   uint32_t tmp = h.range >> 10;
   if (h.low >= (tmp << 10)) { h.st_err = true; return 0; }
-  uint32_t e = g_spec_ent[h.pki][(uint64_t(h.low) * g_recip14[tmp]) >> 38];
+  uint32_t e = g_spec_ent[h.pki][quot10(h.low, tmp)];
   int val = int(e & 31u);
   h.low -= tmp * ((e >> 5) & 1023u);
   h.range = tmp * (e >> 15);
@@ -537,10 +556,11 @@ static void spec_loop_fixed(FrameCtx* const* F) {
 // Drive up to kSpecLanes frames through the spectral phase together:
 // re-filter the live lanes each pass and dispatch to the widest fixed-N
 // lock-step loop. More lanes = more independent range-decoder chains in
-// the out-of-order window (each chain is ~load-to-use serial). Tuned by
-// interleaved A/B measurement on this container's core: 2 lanes 2,341x,
-// 4 lanes 2,129x, 3 lanes worst — two chains already fill the OoO window
-// and wider SpecHot arrays spill registers. Wider cores may prefer 4.
+// the out-of-order window (each chain is ~load-to-use serial). Lane count
+// is tuned by A/B measurement with tools/host_parse_bench.py on the bench
+// host (absolute throughput lives in the committed BENCH_r*.json, not
+// here): two chains already fill this core's OoO window, and wider
+// SpecHot arrays start spilling registers. Wider cores may prefer 4.
 constexpr int kSpecLanes = 2;
 
 static void spec_loop_multi(FrameCtx** fr, int n) {
@@ -626,8 +646,10 @@ static bool parse_tail(FrameCtx& f,
   }
   if (r.error) return false;
 
-  int64_t seed = 0;
-  for (int k = 0; k < ne; k++) seed += int64_t(std::abs(x[k])) * k;
+  // uint32 wraparound preserves the low 16 bits the seed keeps, and lets
+  // the compiler vectorize the multiply-accumulate (int64 blocks it)
+  uint32_t seed = 0;
+  for (int k = 0; k < ne; k++) seed += uint32_t(std::abs(x[k])) * uint32_t(k);
   *nf_seed = int32_t(seed & 0xFFFF);
   *zero_frame = (si.lastnz == 2 && x[0] == 0 && x[1] == 0 && si.gg_ind == 0);
 
@@ -934,9 +956,8 @@ void lc3_load_tables(const int16_t* spec_freq, const int16_t* spec_cumfreq,
   std::memcpy(g_ac_tns_coef_cumfreq, tns_coef_cumfreq,
               sizeof(g_ac_tns_coef_cumfreq));
   std::memcpy(g_mpvq_offsets, mpvq_offsets, sizeof(g_mpvq_offsets));
-  g_recip14[0] = 0;
-  for (uint64_t d = 1; d < 16384; d++)
-    g_recip14[d] = ((uint64_t(1) << 38) + d - 1) / d;
+  for (uint64_t d = 8192; d < 16384; d++)
+    g_recip13[d - 8192] = uint32_t(((uint64_t(1) << 38) + d - 1) / d);
   for (int pki = 0; pki < 64; pki++) {
     int val = 0;
     for (int q = 0; q < 1024; q++) {

@@ -13,13 +13,6 @@ Usage: python multihost_worker.py <coordinator host:port> <process_id> <out.npz>
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
-)
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 S_GLOBAL = 16
 NBYTES = 40
 
@@ -44,6 +37,18 @@ def build_payloads():
 
 
 def main() -> None:
+    # env/sys.path mutations live here (not at module level) so the pytest
+    # parent can import this module for NBYTES/build_payloads without
+    # inheriting a conflicting --xla_force_host_platform_device_count or a
+    # mutated sys.path (ADVICE r3)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    )
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     coord, pid, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 
     import jax
@@ -84,8 +89,16 @@ def main() -> None:
     step = make_sharded_decode_step(cfg, NBYTES * 8, mesh)
     state, pcm = step(state, frames)
 
-    # every process fetches exactly its addressable half of the global PCM
+    # every process fetches exactly its addressable half of the global PCM;
+    # the shards of this 1-D mesh must tile one contiguous row block —
+    # assert it, so a device-ordering change fails loudly here instead of
+    # as a baffling bit-exactness mismatch in the parent (ADVICE r3)
     shards = sorted(pcm.addressable_shards, key=lambda sh: sh.index[0].start or 0)
+    for prev, nxt in zip(shards, shards[1:]):
+        stop, start = prev.index[0].stop, nxt.index[0].start or 0
+        assert stop == start, (
+            f"non-contiguous addressable shards: [..,{stop}) then [{start},..)"
+        )
     local = np.concatenate([np.asarray(sh.data) for sh in shards])
     starts = [sh.index[0].start or 0 for sh in shards]
     np.savez(out_path, pid=pid, rows=local, start=min(starts))

@@ -15,6 +15,11 @@ import numpy as np
 import pytest
 
 from lc3jax.config import FrameDuration, Lc3Config
+from lc3jax.dsp import libmexact
+
+# byte-exact 1.0 floors need glibc's exp2f (see test_dsp_encoder.py);
+# non-glibc hosts fall back to the pre-round-3 statistical floors
+GLIBC_EXACT = libmexact.available()
 
 CASES = [
     (8000, FrameDuration.MS10, 40),
@@ -90,7 +95,8 @@ def test_encoder_parity(fs, dur, nbytes):
     # byte-exact at every case since the round-3 exactness work (batched
     # kissfft DCT-IV + glibc-exact exp2f + divide-once band energies +
     # 8k/7.5ms SNS narrow-band quirk fix)
-    assert n_exact == nframes, f"{n_exact}/{nframes} byte-exact"
+    floor = nframes if GLIBC_EXACT else 0.9 * nframes
+    assert n_exact >= floor, f"{n_exact}/{nframes} byte-exact"
 
 
 @pytest.mark.parametrize("dur,nbytes", [(FrameDuration.MS10, 100),
@@ -143,7 +149,12 @@ def test_encoder_parity_32k_attack(dur, nbytes):
                           nbytes)[0]
         n_exact += got == want
         dec.decode_frame(16, 0, got)
-    assert n_exact >= 0.6 * nframes, f"{n_exact}/{nframes} byte-exact"
+    # byte-exact since round 4: the last attack-path divergence was the
+    # scale-factor mean (jnp.mean reduces in an unspecified order; the
+    # reference folds sequentially — sns_analysis now uses _seq_fold,
+    # measured 12/12 at both durations)
+    floor = nframes if GLIBC_EXACT else 0.6 * nframes
+    assert n_exact >= floor, f"{n_exact}/{nframes} byte-exact"
 
 
 def test_stereo_cli_roundtrip_44k_7p5(tmp_path):

@@ -41,9 +41,17 @@ def test_two_process_sharded_decode_matches_single_process(tmp_path):
         for i in range(2)
     ]
     logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        logs.append(out.decode(errors="replace"))
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            logs.append(out.decode(errors="replace"))
+    finally:
+        # if one worker dies the other blocks in the jax.distributed
+        # rendezvous forever — never leak it past the test (ADVICE r3)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     assert all(p.returncode == 0 for p in procs), "\n".join(logs)
 
     # stitch the per-process halves back into the global PCM

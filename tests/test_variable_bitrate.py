@@ -60,5 +60,9 @@ def test_variable_rate_encode_decodable_and_mostly_exact():
         n_exact += got == want
         dec_oracle.decode_frame(16, 0, got)  # every payload must decode
     # byte-exact across the whole rate plan since the round-3 exactness
-    # work (batched kissfft DCT-IV + glibc-exact exp2f)
-    assert n_exact == len(RATE_PLAN)
+    # work (batched kissfft DCT-IV + glibc-exact exp2f); statistical floor
+    # on non-glibc hosts (see test_dsp_encoder.py)
+    from lc3jax.dsp import libmexact
+
+    floor = len(RATE_PLAN) if libmexact.available() else 0.8 * len(RATE_PLAN)
+    assert n_exact >= floor, f"{n_exact}/{len(RATE_PLAN)}"

@@ -16,8 +16,10 @@ Measured on v5e: the decode error accumulates through the LTPF/OLA state
 feedback (fma contraction) to a bounded plateau of 11 LSB (~-64 dBFS, far
 below the codec's own quantization noise) — repeating the stream 4x stays
 at 11. The encoder is byte-exact on all 50 frames on-device. Asserted
-envelope: decode <= 16 LSB, encoder byte-exact rate >= 0.8 with every
-payload decodable.
+envelope: decode <= 12 LSB (measured plateau 11 + 1 margin), encoder
+byte-exact rate >= 0.95 (measured 1.0) with every payload decodable, and
+the fuzz bad-rate inside a sanity band (random bytes must mostly trip the
+side-info/range checks; a collapse to ~0 or ~1 means a parser regression).
 
 Usage: python tools/tpu_parity.py [out.json] [--full]
 
@@ -178,8 +180,8 @@ def main() -> None:
             f"contributes ~{max(ltpf_adds, 0.0):.1f}). Source: fma "
             "contraction in the spectral chain and IMDCT matmul, "
             "recirculated through the OLA overlap memory across frames. "
-            "The 16-LSB envelope = the measured OLA-feedback plateau "
-            "plus margin; LTPF history is NOT an amplifier here."
+            "The 12-LSB envelope = the measured 11-LSB OLA-feedback "
+            "plateau plus 1; LTPF history is NOT an amplifier here."
         ),
     }
 
@@ -192,10 +194,12 @@ def main() -> None:
         "device_pack_byte_exact_rate": round(n_pack_exact / T, 3),
         "device_parse_fuzz_2048": bool(fuzz_ok),
         "device_parse_fuzz_bad_rate": round(float(badm.mean()), 3),
-        "envelope": {"decode_max_lsb": 16, "encode_byte_exact_min": 0.8,
-                     "device_pack_byte_exact": 1.0},
-        "pass": bool(max_lsb <= 16 and n_exact / T >= 0.8
-                     and n_pack_exact == T and fuzz_ok),
+        "envelope": {"decode_max_lsb": 12, "encode_byte_exact_min": 0.95,
+                     "device_pack_byte_exact": 1.0,
+                     "fuzz_bad_rate_band": [0.5, 0.999]},
+        "pass": bool(max_lsb <= 12 and n_exact / T >= 0.95
+                     and n_pack_exact == T and fuzz_ok
+                     and 0.5 <= float(badm.mean()) <= 0.999),
     }
     if "--full" in sys.argv:
         from lc3jax.coding.host import pack_frames as _pack_host
