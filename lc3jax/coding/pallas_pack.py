@@ -59,7 +59,7 @@ LOW, RNG, BP, CARRY, RSTART, HASC, HL0, TCUR, CNT, BUD = range(10)
 
 
 def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
-                 lpcw: int, nbits_bw: int,
+                 lpcw: int, nbits_bw: int, mrows: int,
                  gmax_ref, xq_ref, res_ref, side_ref, pk_ref,
                  head_ref, tail_ref,
                  st, ms, me):
@@ -72,7 +72,10 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
     gmsb = [int(v) for v in np.asarray(T.SNS_GAIN_MSB_BITS)]
     glsb = [int(v) for v in np.asarray(T.SNS_GAIN_LSB_BITS)]
     iotaw = jax.lax.broadcasted_iota(I32, (nwp, lanes), 0)
-    iota16w = jax.lax.broadcasted_iota(I32, (16, lanes), 0)
+    # mark words cover byte positions < 32*mrows >= nbytes + margin: half
+    # the rows of the old fixed [16, lanes] buffers at 150 B — the mark ORs
+    # sit on every ac_encode, so their row count is pure per-symbol cost
+    iota_m = jax.lax.broadcasted_iota(I32, (mrows, lanes), 0)
 
     lastnz_trunc = side_ref[0, :]
     lsb_mode = side_ref[1, :] > 0
@@ -96,8 +99,8 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
     head_ref[...] = jnp.zeros((nwp, lanes), I32)
     tail_ref[...] = jnp.zeros((nwp, lanes), I32)
     st[...] = jnp.zeros((16, lanes), I32)
-    ms[...] = jnp.zeros((16, lanes), I32)
-    me[...] = jnp.zeros((16, lanes), I32)
+    ms[...] = jnp.zeros((mrows, lanes), I32)
+    me[...] = jnp.zeros((mrows, lanes), I32)
     st[RNG, :] = jnp.full((lanes,), 0x00FFFFFF, I32)
 
     # ---- writers ----------------------------------------------------------
@@ -112,7 +115,7 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
     def mark(mref, pos, do):
         wi = pos >> 5
         upd = jnp.where(
-            (iota16w == wi[None, :]) & do[None, :],
+            (iota_m == wi[None, :]) & do[None, :],
             jnp.ones((lanes,), I32)[None, :] << ((pos & 31)[None, :]), 0,
         )
         mref[...] = mref[...] | upd
@@ -270,20 +273,26 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
         for j in range(14):
             g = g + jnp.where(m >= (4 << j), 1, 0)
 
-        def ladder_body(it, _):
+        def ladder_body(it, acc):
+            # accumulate the ladder's tail-bit pairs in registers; the
+            # tuple's single tail write happens after the signs below (tail
+            # and head are independent streams, and within the tail stream
+            # the order ladder-levels-ascending-then-signs is preserved)
+            vacc, nacc = acc
             going = in_t & (it < g)
             lev4 = jnp.minimum(it, 3)
             pkv = pk_ref[pl.ds(lev4 * ntp + p, 1), :][0, :]
             ac_encode(pkv & 1023, pkv >> 10, going)
             to_tail = going & (~lsb_mode | (it > 0))
-            write_uint_back(
-                ((a0 >> it) & 1) | (((b0 >> it) & 1) << 1), 2, to_tail
-            )
-            return 0
+            bits2 = ((a0 >> it) & 1) | (((b0 >> it) & 1) << 1)
+            vacc = vacc | jnp.where(to_tail, bits2 << nacc, 0)
+            nacc = nacc + jnp.where(to_tail, 2, 0)
+            return vacc, nacc
 
         # scalar trip count (batch max of g for this tuple, via SMEM): no
         # cross-lane reduction inside the loop
-        jax.lax.fori_loop(0, gmax_ref[p], ladder_body, 0)
+        z = jnp.zeros((lanes,), I32)
+        vacc, nacc = jax.lax.fori_loop(0, gmax_ref[p], ladder_body, (z, z))
 
         pkf = pk_ref[pl.ds(4 * ntp + p, 1), :][0, :]
         ac_encode(pkf & 1023, pkf >> 10, in_t)
@@ -301,7 +310,10 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
         sv = jnp.where(a_on, s_a | jnp.where(b_on, s_b << 1, 0),
                        jnp.where(b_on, s_b, 0))
         nbv = jnp.where(a_on, 1, 0) + jnp.where(b_on, 1, 0)
-        write_uint_back_var(sv, nbv, 2, a_on | b_on)
+        # one tail write per tuple: <= 28 ladder bits + <= 2 sign bits
+        vacc = vacc | (sv << nacc)
+        nacc = nacc + nbv
+        write_uint_back_var(vacc, nacc, 30, nacc > 0)
 
     def spec_loop(p, _):
         spec_tuple(p)
@@ -380,15 +392,24 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
         a_lsb = a0 >> 1
         b_lsb = b0 >> 1
 
-        def push(val, do):
-            can = do & (st[CNT, :] < st[BUD, :])
-            write_bit_back(val, can)
-            st[CNT, :] = st[CNT, :] + jnp.where(do, 1, 0)
-
-        push(a0 & 1, pair_on)
-        push(jnp.where(xk > 0, 0, 1), pair_on & (a_lsb == 0) & (xk != 0))
-        push(b0 & 1, pair_on)
-        push(jnp.where(xk1 > 0, 0, 1), pair_on & (b_lsb == 0) & (xk1 != 0))
+        # accumulate the <= 4 queued bits in registers and write once: CNT
+        # counts QUEUED bits (budget cutoff is on queue order), the write
+        # cursor advances only by WRITTEN bits — mirrored exactly here
+        vacc = jnp.zeros((lanes,), I32)
+        nacc = jnp.zeros((lanes,), I32)
+        q = jnp.zeros((lanes,), I32)
+        for val, do in (
+            (a0 & 1, pair_on),
+            (jnp.where(xk > 0, 0, 1), pair_on & (a_lsb == 0) & (xk != 0)),
+            (b0 & 1, pair_on),
+            (jnp.where(xk1 > 0, 0, 1), pair_on & (b_lsb == 0) & (xk1 != 0)),
+        ):
+            can = do & (st[CNT, :] + q < st[BUD, :])
+            vacc = vacc | jnp.where(can, val << nacc, 0)
+            nacc = nacc + jnp.where(can, 1, 0)
+            q = q + jnp.where(do, 1, 0)
+        st[CNT, :] = st[CNT, :] + q
+        write_uint_back_var(vacc, nacc, 4, nacc > 0)
         return 0
 
     # gmax[ntp+1] is 0 when no lane in the batch is in lsb_mode: the whole
@@ -463,7 +484,8 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
 
 
 def _run_pack_kernel(cfg: Lc3Config, nbytes: int, xq_t, res_t, side_rows,
-                     pk_rows, gmax, interpret: bool = False):
+                     pk_rows, gmax, interpret: bool = False,
+                     lanes: int | None = None):
     ne = cfg.ne
     S = xq_t.shape[1]
     nbits = nbytes * 8
@@ -480,12 +502,19 @@ def _run_pack_kernel(cfg: Lc3Config, nbytes: int, xq_t, res_t, side_rows,
     # the straight-line side-info write sequence keeps [nwp, lanes] update
     # temporaries on the Mosaic stack; 512 lanes stays inside the 16 MB
     # scoped-vmem limit now that the fill loops are fori_loops
-    lanes = 128
-    while lanes < 512 and S % (lanes * 2) == 0:
-        lanes *= 2
+    if lanes is None:
+        lanes = 128
+        while lanes < 512 and S % (lanes * 2) == 0:
+            lanes *= 2
+
+    # carried-group mark words span byte positions <= BP <= nbytes plus the
+    # finish shifts; round rows up to the sublane tile
+    mrows = -(-(nbytes + 10) // 32)
+    mrows = -(-mrows // 8) * 8
 
     head_t, tail_t = pl.pallas_call(
-        partial(_pack_kernel, ne, nbytes, nwp, ntp, lanes, lpcw, nbits_bw),
+        partial(_pack_kernel, ne, nbytes, nwp, ntp, lanes, lpcw, nbits_bw,
+                mrows),
         out_shape=(
             jax.ShapeDtypeStruct((nwp, S), I32),
             jax.ShapeDtypeStruct((nwp, S), I32),
@@ -505,8 +534,8 @@ def _run_pack_kernel(cfg: Lc3Config, nbytes: int, xq_t, res_t, side_rows,
         ),
         scratch_shapes=[
             pltpu.VMEM((16, lanes), I32),  # state rows
-            pltpu.VMEM((16, lanes), I32),  # carried-group start marks
-            pltpu.VMEM((16, lanes), I32),  # carried-group end marks
+            pltpu.VMEM((mrows, lanes), I32),  # carried-group start marks
+            pltpu.VMEM((mrows, lanes), I32),  # carried-group end marks
         ],
         interpret=interpret,
     )(gmax, xq_t, res_t, side_rows, pk_rows)
@@ -514,7 +543,7 @@ def _run_pack_kernel(cfg: Lc3Config, nbytes: int, xq_t, res_t, side_rows,
 
 
 def device_pack(cfg: Lc3Config, nbytes: int, fields: dict,
-                interpret: bool = False) -> jax.Array:
+                interpret: bool = False, lanes: int | None = None) -> jax.Array:
     """Encoder fields (encode_step(..., emit_pack=True) output, device
     arrays) -> uint8 frames [S, nbytes], entirely on device. S must be a
     multiple of 128. Requires fields["quant_pack_tables"] (or
@@ -590,7 +619,8 @@ def device_pack(cfg: Lc3Config, nbytes: int, fields: dict,
     )
 
     head_t, tail_t = _run_pack_kernel(cfg, nbytes, xq_t, res_t, side_rows,
-                                      pk_rows, gmax, interpret=interpret)
+                                      pk_rows, gmax, interpret=interpret,
+                                      lanes=lanes)
     # unpack words -> bytes, reverse the tail stream, OR the two halves
     nw = -(-nbytes // 4)
 

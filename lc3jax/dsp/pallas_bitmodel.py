@@ -171,7 +171,7 @@ def _kernel(nt: int, ne4: int, lanes: int, emit_pack: bool, maxnt_ref, *refs):
 
 def bitmodel_table_part(c, g, sym, rate_flag: int, ne: int,
                         interpret: bool = False, emit_pack: bool = False,
-                        lastnz=None):
+                        lastnz=None, lanes: int | None = None):
     """Per-tuple table bits (escape ladder + final symbol), [S, NT] f32.
 
     c: context in [0,256); g: ladder depth; sym: final symbol in [0,16].
@@ -194,14 +194,19 @@ def bitmodel_table_part(c, g, sym, rate_flag: int, ne: int,
         sym = jnp.pad(sym, padr)
     # hi flag boundary: positions with 2p <= ne/2 use the low table half
     ne4 = ne // 4
-    # wide lane blocks amortize the per-row issue latency (measured on v5e:
-    # 128 lanes -> 0.83 ms, 1024 lanes -> 0.20 ms at S=2048, NT=200); cap so
-    # the working set (4 [NT, LW] i32/f32 blocks + the [256, LW] one-hot)
-    # stays well inside VMEM
-    lanes = LANES
-    while (lanes < 1024 and S % (lanes * 2) == 0
-           and (nt_pad * 4 + 256) * 2 * lanes * 2 * 4 < 2 ** 23):
-        lanes *= 2
+    # wide lane blocks amortize the per-row issue latency (measured on v5e
+    # at S=2048, NT=200: 256 lanes 0.574/0.661 ms, 512 0.305/0.363, 1024
+    # 0.197/0.263 plain/emit_pack — tools/kernel_bench.py); cap so the
+    # per-program VMEM residency — the in/out blocks (c/g/sym/out, plus the
+    # [5*NT, LW] pack rows with emit_pack) and the [256, LW] one-hot
+    # temporaries (i32 compare + bf16 value) — leaves headroom for the
+    # Mosaic stack inside the 16 MB scoped limit
+    if lanes is None:
+        lanes = LANES
+        nblk = 4 + (5 if emit_pack else 0)
+        while (lanes < 1024 and S % (lanes * 2) == 0
+               and (nblk * nt_pad * 4 + 256 * 6) * lanes * 2 < 22 * 2 ** 20):
+            lanes *= 2  # bytes estimate x2 safety factor vs the 16MB limit
 
     if lastnz is None:
         maxnt = jnp.full((8,), nt_pad, jnp.int32)

@@ -35,12 +35,14 @@ static int16_t g_ac_tns_order_cumfreq[2][8];
 static int16_t g_ac_tns_coef_freq[8][17];
 static int16_t g_ac_tns_coef_cumfreq[8][17];
 static int32_t g_mpvq_offsets[16][11];
-// Normalized reciprocals for the range-decoder quotient: ceil(2^38 / d)
-// for d in [2^13, 2^14), 8192 x uint32 = 32 KB (L1-resident; the previous
-// 16384 x uint64 = 128 KB table lived in L2 and its ~14-cycle load sat on
-// the per-symbol serial chain). Any tmp in [2^6, 2^14) normalizes into
-// the table's range with a clz shift, applied equally to the dividend.
-static uint32_t g_recip13[8192];
+// Reciprocal table for the range-decoder quotient: ceil(2^38 / d), one
+// u64 per possible tmp = range >> 10 in [1, 2^14). 128 KB (L2); an
+// L1-resident 32 KB normalized variant (clz-shift both operands into
+// [2^13, 2^14)) measured 4-6% SLOWER in interleaved A/B on the bench
+// host (tools/host_parse_ab.py) — with two lock-step lanes the OoO
+// window hides the L2 load, while the clz+shift chain lengthens the
+// serial dependency it was meant to cut.
+static uint64_t g_recip14[16384];
 // quotient -> fused spectral-model entry (256 KB, L2-resident), indexed by
 // q = floor(low/tmp) (exact: the per-symbol multiply walk-down of
 // reference arithmetic_codec.rs:81-84 satisfies tmp*cumfreq[val] <= low
@@ -49,18 +51,8 @@ static uint32_t g_recip13[8192];
 // single dependent load after the quotient.
 static uint32_t g_spec_ent[64][1024];
 
-// Exact floor(low / tmp) for tmp in [2^6, 2^14) and low < tmp << 10 (the
-// range decoder checks exactly this before dividing). Normalize tmp to
-// d = tmp << s in [2^13, 2^14) and scale the dividend by the same shift:
-// floor(low/tmp) = floor((low << s) / d). With M = ceil(2^38/d):
-//   floor((low<<s) * M >> 38) == floor((low<<s)/d)
-// because the error term (low<<s)*(M*d - 2^38)/(d*2^38) < (low<<s)/2^38
-// < d*2^10/2^38 = d/2^28 < 1/d (d^2 < 2^28), so it can never push the
-// product past the next integer boundary. low << s < 2^31 fits uint32.
 static inline uint32_t quot10(uint32_t low, uint32_t tmp) {
-  unsigned s = unsigned(__builtin_clz(tmp)) - 18u;
-  uint32_t d = tmp << s;
-  return uint32_t((uint64_t(low << s) * g_recip13[d - 8192u]) >> 38);
+  return uint32_t((uint64_t(low) * g_recip14[tmp]) >> 38);
 }
 
 struct Reader {
@@ -956,8 +948,9 @@ void lc3_load_tables(const int16_t* spec_freq, const int16_t* spec_cumfreq,
   std::memcpy(g_ac_tns_coef_cumfreq, tns_coef_cumfreq,
               sizeof(g_ac_tns_coef_cumfreq));
   std::memcpy(g_mpvq_offsets, mpvq_offsets, sizeof(g_mpvq_offsets));
-  for (uint64_t d = 8192; d < 16384; d++)
-    g_recip13[d - 8192] = uint32_t(((uint64_t(1) << 38) + d - 1) / d);
+  g_recip14[0] = 0;
+  for (uint64_t d = 1; d < 16384; d++)
+    g_recip14[d] = ((uint64_t(1) << 38) + d - 1) / d;
   for (int pki = 0; pki < 64; pki++) {
     int val = 0;
     for (int q = 0; q < 1024; q++) {
