@@ -263,11 +263,17 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
             ac_encode(ccum, cfrq, ink)
 
     # ---- spectral data (bitstream_encoding.rs:246-326) --------------------
+    # xq_ref packs each tuple's two i16 lines into one i32 word (halves the
+    # VMEM-resident rows, which is what bounds the lane width)
+    def unpack_pair(w):
+        return (w << 16) >> 16, w >> 16  # arithmetic shifts sign-extend
+
     def spec_tuple(p):
         n = 2 * p
         in_t = n < lastnz_trunc
-        a0 = jnp.abs(xq_ref[pl.ds(2 * p, 1), :][0, :])
-        b0 = jnp.abs(xq_ref[pl.ds(2 * p + 1, 1), :][0, :])
+        xk, xk1 = unpack_pair(xq_ref[pl.ds(p, 1), :][0, :])
+        a0 = jnp.abs(xk)
+        b0 = jnp.abs(xk1)
         m = jnp.maximum(a0, b0)
         g = jnp.zeros((lanes,), I32)
         for j in range(14):
@@ -298,8 +304,6 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
         ac_encode(pkf & 1023, pkf >> 10, in_t)
 
         # sign bits (a_lsb/b_lsb semantics: halved once in lsb mode if g>0)
-        xk = xq_ref[pl.ds(2 * p, 1), :][0, :]
-        xk1 = xq_ref[pl.ds(2 * p + 1, 1), :][0, :]
         shift_lsb = lsb_mode & (g > 0)
         a_lsb = jnp.where(shift_lsb, a0 >> 1, a0)
         b_lsb = jnp.where(shift_lsb, b0 >> 1, b0)
@@ -346,19 +350,24 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
     def res_chunk(ci, _):
         # accumulate up to 16 lines' bits into one word write; dropped
         # (over-limit) bits never shift later positions because the limit
-        # never recovers
+        # never recovers. res_ref packs 32 line bits per word, so a 16-line
+        # chunk reads one half-word; xq pairs come 2 lines per word.
         v = jnp.zeros((lanes,), I32)
         rank = jnp.zeros((lanes,), I32)
-        for j in range(16):
-            line = ci * 16 + j
-            xv = xq_ref[pl.ds(line, 1), :][0, :]
-            rb = res_ref[pl.ds(line, 1), :][0, :]
-            can = (
-                ~lsb_mode & (xv != 0)
-                & (st[CNT, :] + rank < res_limit)
-            )
-            v = v | jnp.where(can, (rb & 1) << rank, 0)
-            rank = rank + jnp.where(can, 1, 0)
+        rw = res_ref[pl.ds(ci >> 1, 1), :][0, :]
+        rsh = (ci & 1) * 16
+        for j2 in range(8):
+            w = xq_ref[pl.ds(ci * 8 + j2, 1), :][0, :]
+            xa, xb = unpack_pair(w)
+            for half, xv in ((0, xa), (1, xb)):
+                j = 2 * j2 + half
+                rb = (rw >> (rsh + j)) & 1
+                can = (
+                    ~lsb_mode & (xv != 0)
+                    & (st[CNT, :] + rank < res_limit)
+                )
+                v = v | jnp.where(can, rb << rank, 0)
+                rank = rank + jnp.where(can, 1, 0)
         write_uint_back_var(v, rank, 16, rank > 0)
         st[CNT, :] = st[CNT, :] + rank
         return 0
@@ -367,12 +376,15 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
     jax.lax.fori_loop(
         0, jnp.minimum((maxnt_d * 2 + 15) >> 4, ne // 16), res_chunk, 0
     )
-    for line_ in range((ne // 16) * 16, ne):
-        xv_ = xq_ref[line_, :]
-        rb_ = res_ref[line_, :]
-        can_ = ~lsb_mode & (xv_ != 0) & (st[CNT, :] < res_limit)
-        write_bit_back(rb_ & 1, can_)
-        st[CNT, :] = st[CNT, :] + jnp.where(can_, 1, 0)
+    for line_ in range((ne // 16) * 16, ne, 2):
+        wa_, wb_ = unpack_pair(xq_ref[line_ >> 1, :])
+        rw_ = res_ref[line_ >> 5, :]
+        for half, xv_ in ((0, wa_), (1, wb_)):
+            line = line_ + half
+            rb_ = (rw_ >> (line & 31)) & 1
+            can_ = ~lsb_mode & (xv_ != 0) & (st[CNT, :] < res_limit)
+            write_bit_back(rb_, can_)
+            st[CNT, :] = st[CNT, :] + jnp.where(can_, 1, 0)
 
     # lsb mode: replay the ladder arithmetic to regenerate the lsb queue in
     # order, writing the first `budget` values (pure elementwise per tuple)
@@ -380,8 +392,7 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
 
     def lsb_tuple(p, _):
         n = 2 * p
-        xk = xq_ref[pl.ds(2 * p, 1), :][0, :]
-        xk1 = xq_ref[pl.ds(2 * p + 1, 1), :][0, :]
+        xk, xk1 = unpack_pair(xq_ref[pl.ds(p, 1), :][0, :])
         a0 = jnp.abs(xk)
         b0 = jnp.abs(xk1)
         # ladder depth g: number of halvings until max < 4
@@ -496,21 +507,30 @@ def _run_pack_kernel(cfg: Lc3Config, nbytes: int, xq_t, res_t, side_rows,
 
     nw = -(-nbytes // 4)
     nwp = -(-nw // 8) * 8
-    nep = xq_t.shape[0]
+    nqp = xq_t.shape[0]  # packed i16-pair rows (ne/2, padded)
+    nrp = res_t.shape[0]  # packed residual-bit words (ne/32, padded)
     ntp = pk_rows.shape[0] // 5
-
-    # the straight-line side-info write sequence keeps [nwp, lanes] update
-    # temporaries on the Mosaic stack; 512 lanes stays inside the 16 MB
-    # scoped-vmem limit now that the fill loops are fori_loops
-    if lanes is None:
-        lanes = 128
-        while lanes < 512 and S % (lanes * 2) == 0:
-            lanes *= 2
 
     # carried-group mark words span byte positions <= BP <= nbytes plus the
     # finish shifts; round rows up to the sublane tile
     mrows = -(-(nbytes + 10) // 32)
     mrows = -(-mrows // 8) * 8
+
+    # Lane width is VMEM-bound. Resident rows per lane: the five input/output
+    # blocks + scratch; on top, the straight-line side-info write sequence
+    # keeps [nwp, lanes] update temporaries on the Mosaic stack — calibrated
+    # at ~51*nwp words/lane from the measured 16.4 MB demand of the pre-diet
+    # 1024-lane compile (OOM by 388 KB with 1952 resident rows, nwp=40).
+    # Wider is faster (512 -> 1024 was 0.512 -> 0.358 ms at S=2048, 150 B:
+    # per-row issue latency amortizes over more lanes), so pick the widest
+    # lane count whose estimate fits a 14 MB budget (2 MB headroom).
+    if lanes is None:
+        rows = nqp + nrp + 40 + 5 * ntp + 2 * nwp + 16 + 2 * mrows
+        words_per_lane = rows + 51 * nwp
+        lanes = 128
+        while (lanes < 1024 and S % (lanes * 2) == 0
+               and words_per_lane * 4 * (lanes * 2) <= 14 * 2 ** 20):
+            lanes *= 2
 
     head_t, tail_t = pl.pallas_call(
         partial(_pack_kernel, ne, nbytes, nwp, ntp, lanes, lpcw, nbits_bw,
@@ -522,8 +542,8 @@ def _run_pack_kernel(cfg: Lc3Config, nbytes: int, xq_t, res_t, side_rows,
         grid=(S // lanes,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((nep, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nep, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nqp, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nrp, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((40, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((5 * ntp, lanes), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -563,11 +583,18 @@ def device_pack(cfg: Lc3Config, nbytes: int, fields: dict,
     pk_rows = fields.get("quant_pack_tables", fields.get("pack_tables"))
     assert pk_rows is not None, \
         "device_pack needs pack_tables: run encode_step with emit_pack=True"
-    nep = -(-ne // 8) * 8
-    xq_t = jnp.pad(xq, ((0, 0), (0, nep - ne))).T
-    res_t = jnp.pad(
-        fields["residual_bits"].astype(I32), ((0, 0), (0, nep - ne))
-    ).T
+    # VMEM diet (lane width is VMEM-bound): pack each tuple's two i16 lines
+    # into one i32 word [S, ne/2] and the residual bits 32-per-word
+    # [S, ceil(ne/32)] — ~600 fewer resident rows per lane block at ne=400
+    nqp = -(-NT // 8) * 8
+    xqp = (xq[:, 1::2] << 16) | (xq[:, 0::2] & 0xFFFF)
+    xq_t = jnp.pad(xqp, ((0, 0), (0, nqp - NT))).T
+    nrw = -(-ne // 32)
+    nrp = -(-nrw // 8) * 8
+    resb = jnp.pad(fields["residual_bits"].astype(I32) & 1,
+                   ((0, 0), (0, 32 * nrw - ne))).reshape(S, nrw, 32)
+    resw = jnp.sum(resb << jnp.arange(32, dtype=I32)[None, None, :], axis=2)
+    res_t = jnp.pad(resw, ((0, 0), (0, nrp - nrw))).T
 
     # per-tuple batch max of the escape-ladder depth -> SMEM scalar bounds;
     # slot [ntp] carries the batch max tuple count (lastnz_trunc / 2)

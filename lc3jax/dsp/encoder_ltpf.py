@@ -94,7 +94,8 @@ def _biquad_50hz(x12_new, h50_m1, h50_m2):
         return (h, m1), y
 
     # len12 <= 128 steps of ~4 flops each: unrolled, the XLA loop overhead
-    # (which dominated this stage's device time) disappears
+    # (which dominated this stage's device time) disappears. (A Python loop
+    # + jnp.stack was A/B'd on-chip: identical step time, so the scan stays.)
     (m1, m2), ys = jax.lax.scan(step, (h50_m1, h50_m2), x12_new.T,
                                 unroll=True)
     return ys.T, m1, m2
