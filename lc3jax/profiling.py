@@ -45,8 +45,19 @@ def device_step_ms(step_fn, init_carry, step_args, steps: int = 10,
     import tempfile
     import time as _time
 
+    import numpy as _np
+
     carry, out = step_fn(init_carry, *step_args)  # warm compile
     jax.block_until_ready((carry, out))
+    # Fence with a real (tiny) D2H fetch: on the axon relay
+    # block_until_ready does NOT fence execution, so without this the
+    # trace window can open while the warm-up step (or a previous
+    # caller's queued work) is still executing on device — measured as
+    # 26x-inflated module durations in the round-4 fused sweep. A fetch
+    # is the one operation that synchronizes with the device queue.
+    leaves = jax.tree_util.tree_leaves((carry, out))
+    if leaves:
+        _np.asarray(jax.device_get(leaves[-1].ravel()[:1]))
     own_dir = trace_dir is None
     if own_dir:
         trace_dir = tempfile.mkdtemp(prefix="lc3jax-devtime-")
@@ -56,6 +67,9 @@ def device_step_ms(step_fn, init_carry, step_args, steps: int = 10,
         for _ in range(steps):
             carry, out = step_fn(carry, *step_args)
         jax.block_until_ready((carry, out))
+        leaves = jax.tree_util.tree_leaves((carry, out))
+        if leaves:  # same fence: all timed steps must finish inside the trace
+            _np.asarray(jax.device_get(leaves[-1].ravel()[:1]))
         _time.sleep(1.5)  # let the collector drain
         jax.profiler.stop_trace()
 

@@ -52,7 +52,18 @@ static uint64_t g_recip14[16384];
 static uint32_t g_spec_ent[64][1024];
 
 static inline uint32_t quot10(uint32_t low, uint32_t tmp) {
+#ifdef LC3_DIV_FLOAT
+  // A/B variant: double division instead of the reciprocal-table load.
+  // Exact: low < 2^24 and tmp in [2^6, 2^14) are both exact doubles; when
+  // tmp divides low the quotient is an exact double, otherwise the true
+  // quotient sits >= 1/tmp >= 2^-14 away from any integer, far beyond the
+  // 2^-53-relative rounding of the correctly-rounded divide, so truncation
+  // can never cross an integer boundary. Trades the L2 table load on the
+  // serial chain for the FP divider (~14 cycle latency, no memory traffic).
+  return uint32_t(double(low) / double(tmp));
+#else
   return uint32_t((uint64_t(low) * g_recip14[tmp]) >> 38);
+#endif
 }
 
 struct Reader {
@@ -553,7 +564,10 @@ static void spec_loop_fixed(FrameCtx* const* F) {
 // host (absolute throughput lives in the committed BENCH_r*.json, not
 // here): two chains already fill this core's OoO window, and wider
 // SpecHot arrays start spilling registers. Wider cores may prefer 4.
-constexpr int kSpecLanes = 2;
+#ifndef LC3_SPEC_LANES
+#define LC3_SPEC_LANES 2
+#endif
+constexpr int kSpecLanes = LC3_SPEC_LANES;  // -DLC3_SPEC_LANES=N to A/B
 
 static void spec_loop_multi(FrameCtx** fr, int n) {
   for (;;) {
