@@ -22,6 +22,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(LC3_SPEC_SIMD) && defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 // ----------------------------------------------------------- spec tables
@@ -50,6 +54,11 @@ static uint64_t g_recip14[16384];
 // | freq[val] (11b) in one uint32, so the serial decode chain pays a
 // single dependent load after the quotient.
 static uint32_t g_spec_ent[64][1024];
+// Per-page cumfreq[1..16] widened to u32 for the AVX-512 multiply-compare
+// symbol search (LC3_SPEC_SIMD): val = popcount(tmp*cumfreq[1..16] <= low)
+// — the comparison IS the division, so the serial chain carries no table
+// load at all (this 4 KB table is pki-indexed, known one symbol early).
+alignas(64) static uint32_t g_spec_cf32[64][16];
 
 static inline uint32_t quot10(uint32_t low, uint32_t tmp) {
 #ifdef LC3_DIV_FLOAT
@@ -404,12 +413,40 @@ static inline void hot_store(const SpecHot& h, FrameCtx& f) {
 
 // one spectral symbol; mirrors RangeDec::decode_spec on local state
 static inline int hot_sym(SpecHot& h, const uint8_t* buf, int len) {
+#if defined(LC3_SPEC_SIMD) && defined(__AVX512F__)
+  // AVX-512 multiply-compare search: val = #{v in 1..16 : tmp*cumfreq[v]
+  // <= low}, i.e. the walk-down of reference arithmetic_codec.rs:81-84
+  // evaluated as one vector compare. cumfreq[0] == 0 always, and the
+  // virtual cumfreq[17] == 1024 makes prods[17] = tmp << 10, so
+  // low/range both update from one 8-byte load of adjacent products.
+  // Replaces BOTH dependent L2 loads (g_recip14, g_spec_ent) of the LUT
+  // path with register/L1 traffic; g_spec_cf32 is indexed by pki, which
+  // is known one symbol ahead (off the serial chain).
+  uint32_t tmp = h.range >> 10;
+  uint32_t top = tmp << 10;
+  if (h.low >= top) { h.st_err = true; return 0; }
+  __m512i prod = _mm512_mullo_epi32(
+      _mm512_set1_epi32(int(tmp)),
+      _mm512_load_si512((const void*)g_spec_cf32[h.pki]));
+  __mmask16 le = _mm512_cmp_epu32_mask(prod, _mm512_set1_epi32(int(h.low)),
+                                       _MM_CMPINT_LE);
+  int val = _mm_popcnt_u32(uint32_t(le));
+  alignas(64) uint32_t parr[18];
+  parr[0] = 0;
+  _mm512_store_si512((void*)(parr + 1), prod);
+  parr[17] = top;
+  uint64_t two;  // prods[val] | prods[val+1] << 32 (monotonic, adjacent)
+  std::memcpy(&two, reinterpret_cast<const char*>(parr) + 4 * val, 8);
+  h.low -= uint32_t(two);
+  h.range = uint32_t(two >> 32) - uint32_t(two);
+#else
   uint32_t tmp = h.range >> 10;
   if (h.low >= (tmp << 10)) { h.st_err = true; return 0; }
   uint32_t e = g_spec_ent[h.pki][quot10(h.low, tmp)];
   int val = int(e & 31u);
   h.low -= tmp * ((e >> 5) & 1023u);
   h.range = tmp * (e >> 15);
+#endif
   // speculative renorm: reads from the zero-padded copy (over-reads past
   // len behave exactly like head_byte()'s 0 return once the sticky error
   // below is set); the loop branch predicts well and keeps the byte feed
@@ -422,7 +459,12 @@ static inline int hot_sym(SpecHot& h, const uint8_t* buf, int len) {
   return val;
 }
 
-// one tail (side) bit consume; mirrors Reader::tail_bool semantics
+// one tail (side) bit consume; mirrors Reader::tail_bool semantics.
+// NOT windowed on purpose: a 64-bit shift-window variant (see TailWin,
+// used in the single-lane residual phase) measured 6% SLOWER here — each
+// windowed bit depends on the previous shift, while these per-bit loads
+// are independent L1 hits the out-of-order core runs alongside the range
+// decoder chain, and the extra window state spills registers at 2 lanes.
 static inline int hot_tail(SpecHot& h, const uint8_t* buf, int len) {
   int byte_index = h.tail >> 3;
   int bit_index = h.tail & 7;
@@ -595,6 +637,11 @@ static void spec_loop_multi(FrameCtx** fr, int n) {
 }
 
 // Residual bits, noise seed, SNS de-enumeration, field stores.
+// (A 64-bit shift-window bulk tail-bit reader was A/B'd here and in the
+// spectral hot loop: 2.7% / 6% SLOWER respectively — the scalar per-bit
+// loads are independent L1 hits the OoO core overlaps for free, while a
+// window serializes bit n on bit n-1's shift. See the cycles/symbol
+// breakdown in BENCH_SWEEP.md.)
 static bool parse_tail(FrameCtx& f,
                        uint8_t* lsb_mode, int32_t* gg_ind,
                        int32_t* rc_order, int32_t* rc_i, int32_t* bandwidth,
@@ -965,6 +1012,9 @@ void lc3_load_tables(const int16_t* spec_freq, const int16_t* spec_cumfreq,
   g_recip14[0] = 0;
   for (uint64_t d = 1; d < 16384; d++)
     g_recip14[d] = ((uint64_t(1) << 38) + d - 1) / d;
+  for (int pki = 0; pki < 64; pki++)
+    for (int v = 1; v <= 16; v++)
+      g_spec_cf32[pki][v - 1] = uint32_t(g_ac_spec_cumfreq[pki][v]);
   for (int pki = 0; pki < 64; pki++) {
     int val = 0;
     for (int q = 0; q < 1024; q++) {
