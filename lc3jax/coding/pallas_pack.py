@@ -516,20 +516,18 @@ def _run_pack_kernel(cfg: Lc3Config, nbytes: int, xq_t, res_t, side_rows,
     mrows = -(-(nbytes + 10) // 32)
     mrows = -(-mrows // 8) * 8
 
-    # Lane width is VMEM-bound. Resident rows per lane: the five input/output
-    # blocks + scratch; on top, the straight-line side-info write sequence
-    # keeps [nwp, lanes] update temporaries on the Mosaic stack — calibrated
-    # at ~51*nwp words/lane from the measured 16.4 MB demand of the pre-diet
-    # 1024-lane compile (OOM by 388 KB with 1952 resident rows, nwp=40).
-    # Wider is faster (512 -> 1024 was 0.512 -> 0.358 ms at S=2048, 150 B:
-    # per-row issue latency amortizes over more lanes), so pick the widest
-    # lane count whose estimate fits a 14 MB budget (2 MB headroom).
+    # Lane width: wider is faster (512 -> 1024 was 0.512 -> 0.358 ms at
+    # S=2048/150 B and 2.955 -> 2.171 ms at 400 B: per-row issue latency
+    # amortizes over more lanes). After the round-4 VMEM diet (i16-pair xq
+    # packing, 32-bit residual words, register-accumulated tail writes),
+    # 1024 lanes compiles and runs at the binding worst case — ne=400 with
+    # nbytes=400 (nwp=104) — and everything smaller, verified by a
+    # compile-probe grid over the geometry matrix on TPU v5e. The old
+    # (rows + 51*nwp)-words analytic estimate over-predicted Mosaic's
+    # scoped-vmem demand ~2x at large nwp and cost 27% at the 400 B edge.
     if lanes is None:
-        rows = nqp + nrp + 40 + 5 * ntp + 2 * nwp + 16 + 2 * mrows
-        words_per_lane = rows + 51 * nwp
         lanes = 128
-        while (lanes < 1024 and S % (lanes * 2) == 0
-               and words_per_lane * 4 * (lanes * 2) <= 14 * 2 ** 20):
+        while lanes < 1024 and S % (lanes * 2) == 0:
             lanes *= 2
 
     head_t, tail_t = pl.pallas_call(

@@ -558,7 +558,7 @@ def _parse_kernel(ne: int, nbytes: int, nwp: int, lanes: int, rate_flag: int,
 
 
 def _run_kernel(cfg: Lc3Config, nbytes: int, headwords, tailwords, side_rows,
-                bounds, interpret: bool = False):
+                bounds, interpret: bool = False, lanes: int | None = None):
     ne = cfg.ne
     S = headwords.shape[0]
     nbits = nbytes * 8
@@ -576,10 +576,15 @@ def _run_kernel(cfg: Lc3Config, nbytes: int, headwords, tailwords, side_rows,
     hw = jnp.pad(headwords, ((0, 0), (0, nwp - headwords.shape[1])))
     tw = jnp.pad(tailwords, ((0, 0), (0, nwp - tailwords.shape[1])))
 
-    lanes = 128
-    while (lanes < 1024 and S % (lanes * 2) == 0
-           and (2 * nwp + 3 * nep + 64) * lanes * 2 * 4 < 2 ** 23):
-        lanes *= 2
+    # Lane width: widest dividing S. 1024 lanes compiles and runs at the
+    # binding worst case (ne=400 with nbytes=400) and is 21-24% faster than
+    # 512 at 48k/150B and /400B (round 4, device clock); the old 8 MB
+    # analytic VMEM cap over-predicted Mosaic's scoped-vmem demand and
+    # capped the kernel at 512.
+    if lanes is None:
+        lanes = 128
+        while lanes < 1024 and S % (lanes * 2) == 0:
+            lanes *= 2
 
     x_t, res_t, tns_t, misc_t = pl.pallas_call(
         partial(_parse_kernel, ne, nbytes, nwp, lanes, rate_flag, lpcw),
@@ -617,7 +622,8 @@ def _run_kernel(cfg: Lc3Config, nbytes: int, headwords, tailwords, side_rows,
 
 
 def device_parse_pallas(cfg: Lc3Config, nbytes: int, payloads: jax.Array,
-                        interpret: bool = False) -> ParsedFrames:
+                        interpret: bool = False,
+                        lanes: int | None = None) -> ParsedFrames:
     """Gather-free device parse: uint8 [S, nbytes] -> ParsedFrames.
 
     S must be a multiple of 128 (the serving batch shape)."""
@@ -677,7 +683,7 @@ def device_parse_pallas(cfg: Lc3Config, nbytes: int, payloads: jax.Array,
 
     x_t, res_t, tns_t, misc_t = _run_kernel(
         cfg, nbytes, headwords, tailwords, side_rows, bounds,
-        interpret=interpret
+        interpret=interpret, lanes=lanes
     )
     x = x_t[:ne].T
     residual_bits = res_t[:ne].T > 0

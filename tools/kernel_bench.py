@@ -37,8 +37,11 @@ def main() -> None:
     from lc3jax.profiling import device_step_ms
     from lc3jax.ref.encoder import Lc3Encoder
 
-    cfg = Lc3Config.new(48000, FrameDuration.MS10)
-    nbytes = 150
+    fs = int(os.environ.get("LC3JAX_FS", "48000"))
+    dur = (FrameDuration.MS7P5 if os.environ.get("LC3JAX_DUR", "10") in
+           ("7.5", "7p5") else FrameDuration.MS10)
+    cfg = Lc3Config.new(fs, dur)
+    nbytes = int(os.environ.get("LC3JAX_NBYTES", "150"))
     frame_seconds = cfg.nf / cfg.fs
 
     rng = np.random.default_rng(0)

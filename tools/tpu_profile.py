@@ -37,8 +37,12 @@ def run_trace(kind: str, n_streams: int, steps: int, trace_dir: str) -> None:
     from lc3jax.coding import native
     from lc3jax.ref.encoder import Lc3Encoder
 
-    cfg = Lc3Config.new(48000, FrameDuration.MS10)
-    nbytes = 150
+    # geometry overrides for edge-of-matrix profiling (defaults: headline)
+    fs = int(os.environ.get("LC3JAX_FS", "48000"))
+    dur = (FrameDuration.MS7P5 if os.environ.get("LC3JAX_DUR", "10") in
+           ("7.5", "7p5") else FrameDuration.MS10)
+    cfg = Lc3Config.new(fs, dur)
+    nbytes = int(os.environ.get("LC3JAX_NBYTES", "150"))
     enc = Lc3Encoder(1, cfg.n_ms, cfg.fs)
     t = np.arange(cfg.nf) / cfg.fs
     pcm = (8000 * np.sin(2 * np.pi * 220 * t)).astype(np.int16)
