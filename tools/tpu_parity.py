@@ -256,6 +256,37 @@ def main() -> None:
             result["full"][key] = {"parse": bool(pok), "pack": bool(kok)}
             result["pass"] = bool(result["pass"] and pok and kok)
 
+            # the production serving batch (S=2048) runs both kernels at
+            # 1024 lanes — a lane width the S=256 checks above never reach
+            # (round 4 dropped the analytic VMEM caps; the widest grid is
+            # the config that actually ships). Pin byte-exactness at max
+            # lane width on the binding worst-case geometry.
+            if (fs_, nb_) == (48000, 400):
+                batch8 = np.tile(batch, (8, 1))
+                hostf8 = native.parse_frames_native(c, batch8)
+                devf8 = jax.jit(partial(device_parse_pallas, c, nb_))(
+                    jnp.asarray(batch8)
+                )
+                bm8 = np.asarray(hostf8.bad_frame)
+                pok8 = (np.array_equal(bm8, np.asarray(devf8.bad_frame))
+                        and all(
+                            np.array_equal(
+                                np.asarray(getattr(hostf8, f2.name))[~bm8],
+                                np.asarray(getattr(devf8, f2.name))[~bm8])
+                            for f2 in dataclasses.fields(hostf8)
+                            if f2.name != "bad_frame"))
+                # stream axis: quant_pack_tables is [rows, S] (stream-minor);
+                # every other non-scalar field is stream-major [S, ...]
+                flds8 = {k: (jnp.tile(v, (1, 8)) if k == "quant_pack_tables"
+                             else jnp.tile(v, (8,) + (1,) * (v.ndim - 1))
+                             if v.ndim else v) for k, v in flds.items()}
+                got8 = np.asarray(jax.jit(partial(device_pack, c, nb_))(flds8))
+                kok8 = all(bytes(got8[s2]) == want2[s2 % Sf]
+                           for s2 in range(8 * Sf))
+                result["full"][key + "_S2048_1024lanes"] = {
+                    "parse": bool(pok8), "pack": bool(kok8)}
+                result["pass"] = bool(result["pass"] and pok8 and kok8)
+
     out_path = next((a for a in sys.argv[1:] if not a.startswith("--")),
                     "TPU_PARITY.json")
     with open(out_path, "w") as fh:
