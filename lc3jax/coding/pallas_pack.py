@@ -525,6 +525,9 @@ def _run_pack_kernel(cfg: Lc3Config, nbytes: int, xq_t, res_t, side_rows,
     # compile-probe grid over the geometry matrix on TPU v5e. The old
     # (rows + 51*nwp)-words analytic estimate over-predicted Mosaic's
     # scoped-vmem demand ~2x at large nwp and cost 27% at the 400 B edge.
+    # 2048 lanes measured 24% SLOWER than 1024 (0.372 -> 0.460 ms at
+    # 150B/S=2048) — unlike parse/bitmodel this kernel stops scaling, so
+    # the cap stays 1024.
     if lanes is None:
         lanes = 128
         while lanes < 1024 and S % (lanes * 2) == 0:

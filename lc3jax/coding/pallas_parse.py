@@ -576,14 +576,17 @@ def _run_kernel(cfg: Lc3Config, nbytes: int, headwords, tailwords, side_rows,
     hw = jnp.pad(headwords, ((0, 0), (0, nwp - headwords.shape[1])))
     tw = jnp.pad(tailwords, ((0, 0), (0, nwp - tailwords.shape[1])))
 
-    # Lane width: widest dividing S. 1024 lanes compiles and runs at the
-    # binding worst case (ne=400 with nbytes=400) and is 21-24% faster than
-    # 512 at 48k/150B and /400B (round 4, device clock); the old 8 MB
-    # analytic VMEM cap over-predicted Mosaic's scoped-vmem demand and
-    # capped the kernel at 512.
+    # Lane width: widest dividing S, up to 2048. Compile-probed at the
+    # binding worst case (ne=400 with nbytes=400, device clock, exact vs
+    # the native parser): 1024 lanes was 21-24% over 512 at 48k/150B and
+    # /400B, and 2048 another 9%/14% (1.172->1.067 ms at 150B,
+    # 2.457->2.107 ms at 400B, S=2048). The old 8 MB analytic VMEM cap
+    # over-predicted Mosaic's scoped-vmem demand and capped the kernel
+    # at 512. (The pack kernel is the opposite: 2048 measured 24% SLOWER
+    # than 1024 — see pallas_pack.)
     if lanes is None:
         lanes = 128
-        while lanes < 1024 and S % (lanes * 2) == 0:
+        while lanes < 2048 and S % (lanes * 2) == 0:
             lanes *= 2
 
     x_t, res_t, tns_t, misc_t = pl.pallas_call(

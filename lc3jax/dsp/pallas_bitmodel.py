@@ -196,17 +196,18 @@ def bitmodel_table_part(c, g, sym, rate_flag: int, ne: int,
     ne4 = ne // 4
     # wide lane blocks amortize the per-row issue latency (measured on v5e
     # at S=2048, NT=200: 256 lanes 0.574/0.661 ms, 512 0.305/0.363, 1024
-    # 0.197/0.263 plain/emit_pack — tools/kernel_bench.py); cap so the
-    # per-program VMEM residency — the in/out blocks (c/g/sym/out, plus the
-    # [5*NT, LW] pack rows with emit_pack) and the [256, LW] one-hot
-    # temporaries (i32 compare + bf16 value) — leaves headroom for the
-    # Mosaic stack inside the 16 MB scoped limit
+    # 0.197/0.263 plain/emit_pack — tools/kernel_bench.py). Lane picker:
+    # widest lane count dividing S, up to 2048 — compile-probed on v5e at
+    # the worst case (NT=200, S=2048): 2048 lanes compiles in both modes
+    # and measures 0.149/0.223 ms plain/emit_pack vs 0.196/0.262 at 1024
+    # (-24%/-15%, device clock, bit-identical output). The old analytic
+    # VMEM estimate predicted emit_pack at 2048 would not fit; like the
+    # parse/pack pickers it over-predicted Mosaic's real demand — probe,
+    # don't estimate (CLAUDE.md round-4 lane-picker lesson).
     if lanes is None:
         lanes = LANES
-        nblk = 4 + (5 if emit_pack else 0)
-        while (lanes < 1024 and S % (lanes * 2) == 0
-               and (nblk * nt_pad * 4 + 256 * 6) * lanes * 2 < 22 * 2 ** 20):
-            lanes *= 2  # bytes estimate x2 safety factor vs the 16MB limit
+        while lanes < 2048 and S % (lanes * 2) == 0:
+            lanes *= 2
 
     if lastnz is None:
         maxnt = jnp.full((8,), nt_pad, jnp.int32)

@@ -256,11 +256,12 @@ def main() -> None:
             result["full"][key] = {"parse": bool(pok), "pack": bool(kok)}
             result["pass"] = bool(result["pass"] and pok and kok)
 
-            # the production serving batch (S=2048) runs both kernels at
-            # 1024 lanes — a lane width the S=256 checks above never reach
-            # (round 4 dropped the analytic VMEM caps; the widest grid is
-            # the config that actually ships). Pin byte-exactness at max
-            # lane width on the binding worst-case geometry.
+            # the production serving batch (S=2048) runs the kernels at
+            # their max lane width (parse 2048, pack 1024) — widths the
+            # S=256 checks above never reach (round 4 dropped the analytic
+            # VMEM caps; the widest grid is the config that actually
+            # ships). Pin byte-exactness at max lane width on the binding
+            # worst-case geometry.
             if (fs_, nb_) == (48000, 400):
                 batch8 = np.tile(batch, (8, 1))
                 hostf8 = native.parse_frames_native(c, batch8)
@@ -283,7 +284,7 @@ def main() -> None:
                 got8 = np.asarray(jax.jit(partial(device_pack, c, nb_))(flds8))
                 kok8 = all(bytes(got8[s2]) == want2[s2 % Sf]
                            for s2 in range(8 * Sf))
-                result["full"][key + "_S2048_1024lanes"] = {
+                result["full"][key + "_S2048_maxlanes"] = {
                     "parse": bool(pok8), "pack": bool(kok8)}
                 result["pass"] = bool(result["pass"] and pok8 and kok8)
 
