@@ -57,12 +57,21 @@ I32 = jnp.int32
 # state rows
 LOW, RNG, BP, CARRY, RSTART, HASC, HL0, TCUR, CNT, BUD = range(10)
 
+# head-stream ring height (words): arithmetic-coder byte emissions land in
+# a [HRING, lanes] ring keyed by word index mod HRING, so the per-symbol
+# masked OR is HRING rows tall instead of nwp (104 rows at 400 B). The ring
+# drains to head_ref in banded ORs at flush points chosen so the word
+# cursor can never advance more than HRING-1 words in between: <= 15
+# symbols per spectral tuple x <= 2 renorm bytes = <= 30 bytes = <= 8
+# words, and the TNS phase emits <= 18 symbols = <= 9 words + alignment.
+HRING = 16
+
 
 def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
                  lpcw: int, nbits_bw: int, mrows: int,
                  gmax_ref, xq_ref, res_ref, side_ref, pk_ref,
                  head_ref, tail_ref,
-                 st, ms, me):
+                 st, ms, me, hr):
     NT = ne // 2
     nbits = nbytes * 8
     oc = [int(v) for v in np.asarray(T.AC_TNS_ORDER_CUMFREQ)[lpcw]]
@@ -76,6 +85,7 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
     # the rows of the old fixed [16, lanes] buffers at 150 B — the mark ORs
     # sit on every ac_encode, so their row count is pure per-symbol cost
     iota_m = jax.lax.broadcasted_iota(I32, (mrows, lanes), 0)
+    iota_r = jax.lax.broadcasted_iota(I32, (HRING, lanes), 0)
 
     lastnz_trunc = side_ref[0, :]
     lsb_mode = side_ref[1, :] > 0
@@ -101,16 +111,33 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
     st[...] = jnp.zeros((16, lanes), I32)
     ms[...] = jnp.zeros((mrows, lanes), I32)
     me[...] = jnp.zeros((mrows, lanes), I32)
+    hr[...] = jnp.zeros((HRING, lanes), I32)
     st[RNG, :] = jnp.full((lanes,), 0x00FFFFFF, I32)
 
     # ---- writers ----------------------------------------------------------
+    # Head bytes accumulate in the hr ring (word index mod HRING); ORs are
+    # idempotent and each ring row holds exactly one word's bytes between
+    # flushes, so draining is a masked band copy (see flush_head).
     def write_byte_at(byte, pos, do):
         wi = pos >> 2
         upd = jnp.where(
-            (iotaw == wi[None, :]) & do[None, :],
+            (iota_r == (wi & (HRING - 1))[None, :]) & do[None, :],
             (byte & 255)[None, :] << (((pos & 3) * 8)[None, :]), 0,
         )
-        head_ref[...] = head_ref[...] | upd
+        hr[...] = hr[...] | upd
+
+    def flush_head():
+        """Drain the head ring: OR each ring row into its head word. The
+        flush window (w-HRING, w] selects exactly one target row per ring
+        row (older rows were zeroed at the previous flush), then every row
+        but the current partial word's is cleared for reuse."""
+        w = ((st[BP, :] - 1) >> 2)[None, :]  # last written word; -1 if none
+        reps = -(-nwp // HRING)
+        tiled = jnp.concatenate([hr[...]] * reps, axis=0)[:nwp]
+        m = (iotaw <= w) & (iotaw > w - HRING)
+        head_ref[...] = head_ref[...] | jnp.where(m, tiled, 0)
+        keep = iota_r == (w & (HRING - 1))
+        hr[...] = jnp.where(keep, hr[...], 0)
 
     def mark(mref, pos, do):
         wi = pos >> 5
@@ -219,17 +246,19 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
         write_byte_at(byte, pos, do)
 
     def write_u16_at(v16, pos, do):
-        """Two consecutive bytes as one (possibly word-spanning) OR."""
+        """Two consecutive bytes as one (possibly word-spanning) ring OR."""
         wi = pos >> 2
         sh = (pos & 3) * 8
         lo = v16 << sh  # int32 wrap keeps the low word's bits
         hi = jnp.where(sh == 0, 0, (v16 >> 1) >> (31 - sh))
+        wr = (wi & (HRING - 1))[None, :]
         upd = jnp.where(
-            (iotaw == wi[None, :]) & do[None, :], lo[None, :], 0
+            (iota_r == wr) & do[None, :], lo[None, :], 0
         ) | jnp.where(
-            (iotaw == wi[None, :] + 1) & do[None, :], hi[None, :], 0
+            (iota_r == ((wi + 1) & (HRING - 1))[None, :]) & do[None, :],
+            hi[None, :], 0
         )
-        head_ref[...] = head_ref[...] | upd
+        hr[...] = hr[...] | upd
 
     def ac_encode(cum_v, frq_v, do):
         r = st[RNG, :] >> 10
@@ -261,6 +290,8 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
             ccum = sum(jnp.where(rci == v, cc[k][v], 0) for v in range(17))
             cfrq = sum(jnp.where(rci == v, cf[k][v], 0) for v in range(17))
             ac_encode(ccum, cfrq, ink)
+    # <= 18 TNS symbols -> <= 36 bytes -> <= 10 words: within ring capacity
+    flush_head()
 
     # ---- spectral data (bitstream_encoding.rs:246-326) --------------------
     # xq_ref packs each tuple's two i16 lines into one i32 word (halves the
@@ -318,6 +349,8 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
         vacc = vacc | (sv << nacc)
         nacc = nacc + nbv
         write_uint_back_var(vacc, nacc, 30, nacc > 0)
+        # <= 15 symbols this tuple -> <= 30 bytes -> <= 8 words advance
+        flush_head()
 
     def spec_loop(p, _):
         spec_tuple(p)
@@ -452,6 +485,7 @@ def _pack_kernel(ne: int, nbytes: int, nwp: int, ntp: int, lanes: int,
     for _ in range(4):
         ac_shift(brem > 0)
         brem = brem - jnp.where(brem > 0, 8, 0)
+    flush_head()  # drain before the direct head_ref partial-byte clear
     bits_fin = ((bits - 1) % 8) + 1  # value of `bits` after the loop, +8
 
     # the last slot is written as a partial byte: only its top bits_fin
@@ -557,6 +591,7 @@ def _run_pack_kernel(cfg: Lc3Config, nbytes: int, xq_t, res_t, side_rows,
             pltpu.VMEM((16, lanes), I32),  # state rows
             pltpu.VMEM((mrows, lanes), I32),  # carried-group start marks
             pltpu.VMEM((mrows, lanes), I32),  # carried-group end marks
+            pltpu.VMEM((HRING, lanes), I32),  # head emission ring
         ],
         interpret=interpret,
     )(gmax, xq_t, res_t, side_rows, pk_rows)

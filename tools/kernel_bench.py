@@ -115,7 +115,7 @@ def main() -> None:
         fd = {k: v for k, v in fields.items()}
         lane_sweep = [None]
         if "lanes" in which:
-            lane_sweep = [512, 1024]
+            lane_sweep = [512, 1024, 2048]
         for ln in lane_sweep:
             f = jax.jit(lambda ff, _ln=ln: device_pack(cfg, nbytes, ff,
                                                        lanes=_ln))
