@@ -597,11 +597,19 @@ def _sns_finish(p: EncoderParams, x, st1, ind_lf, ind_hf, t2rot, d,
     )
     ls_indb = jnp.where(shape_j == 0, ls_indb, 0)
 
-    # synthesis + interpolation + spectral shaping
-    scfq = st1 + g_sel[:, None] * jnp.einsum(
-        "sk,nk->sn", xq_sel, d, preferred_element_type=F32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    # synthesis + interpolation + spectral shaping. The synthesis dot
+    # product must reproduce the oracle's sequential f32 fold
+    # (ref/sns_enc.py:372-377, spectral_noise_shaping.rs:163-171): an
+    # einsum accumulates in a different order and its 1-ulp scfq drift
+    # propagates through interp/exp2f into the shaped spectrum, flipping
+    # residual-bit knife edges (`x_f >= x_q*gg` exact ties — the round-5
+    # corpus caught 2/200 frames at 44.1k/7.5ms and 1/200 at 48k/400B).
+    # The `+ zero` (runtime-derived) blocks fma contraction of the mul
+    # into the fold adds, keeping round(mul)-then-round(add) semantics.
+    zero = x[0:1, 0:1] * F32(0.0)
+    prod = xq_sel.astype(F32)[:, None, :] * d[None, :, :] + zero[:, :, None]
+    factor = _seq_fold(prod, 2)  # [S, 16], col order 0..15 as the oracle
+    scfq = st1 + (g_sel[:, None] * factor + zero)
     n0 = scfq[:, :-1]
     dd = scfq[:, 1:] - n0
     w4 = jnp.asarray([0.125, 0.375, 0.625, 0.875], F32)
@@ -1036,6 +1044,10 @@ def spectral_quantize(p: EncoderParams, state: EncoderState, x_f, nbits: int,
         )
         scaled = x_f / gg[:, None]
         offs = jnp.where(x_f >= 0.0, scaled + F32(0.375), scaled - F32(0.375))
+        # The [-32768, 32767] clip is load-bearing beyond the spec
+        # (global_gain_limitation keeps |x_q| <= 32767 anyway): device_pack
+        # packs x_q as two i16 halves per i32 word (coding/pallas_pack.py)
+        # and values outside i16 would silently corrupt the bitstream.
         x_q = jnp.clip(jnp.trunc(offs), -32768.0, 32767.0).astype(jnp.int32)
         return x_q, gg
 

@@ -134,7 +134,18 @@ def ltpf_analysis(cfg: Lc3Config, st: LtpfEncState, x_s, near_nyquist, nbits: in
     x64_new = sum(
         c5[j] * x12[:, base + j : base + j + 2 * len64 : 2] for j in range(5)
     )
-    x64 = jnp.concatenate([st.x64[:, len64:], x64_new], axis=1)  # [S, 64+K_MAX]
+    # buffer layout mirrors the oracle's shift+write exactly: history shifts
+    # left by len64 and the new frame lands at [K_MAX, K_MAX+len64) — NOT at
+    # the buffer end. At 10 ms (len64=64) the two coincide; at 7.5 ms
+    # (len64=48) the buffer keeps a never-read 16-zero tail and appending at
+    # the end instead would shift every autocorrelation window 16 samples
+    # stale (ltpf_enc.py:83-144; the round-5 corpus caught this as a 64/200
+    # byte divergence at 44.1 k/7.5 ms).
+    x64 = jnp.concatenate(
+        [st.x64[:, len64 : len64 + K_MAX], x64_new,
+         st.x64[:, K_MAX + len64 :]],
+        axis=1,
+    )  # [S, 64+K_MAX]
 
     # autocorrelation over lags 17..114
     nlags = K_MAX + 1 - K_MIN
