@@ -561,10 +561,14 @@ def _run_pack_kernel(cfg: Lc3Config, nbytes: int, xq_t, res_t, side_rows,
     # scoped-vmem demand ~2x at large nwp and cost 27% at the 400 B edge.
     # 2048 lanes measured 24% SLOWER than 1024 (0.372 -> 0.460 ms at
     # 150B/S=2048) — unlike parse/bitmodel this kernel stops scaling, so
-    # the cap stays 1024.
+    # the cap stays 1024 on the probed generation (512 on unprobed ones —
+    # see lanecaps.lane_cap).
     if lanes is None:
+        from ..lanecaps import lane_cap
+
+        cap = lane_cap("pack")
         lanes = 128
-        while lanes < 1024 and S % (lanes * 2) == 0:
+        while lanes < cap and S % (lanes * 2) == 0:
             lanes *= 2
 
     head_t, tail_t = pl.pallas_call(
@@ -621,7 +625,13 @@ def device_pack(cfg: Lc3Config, nbytes: int, fields: dict,
         "device_pack needs pack_tables: run encode_step with emit_pack=True"
     # VMEM diet (lane width is VMEM-bound): pack each tuple's two i16 lines
     # into one i32 word [S, ne/2] and the residual bits 32-per-word
-    # [S, ceil(ne/32)] — ~600 fewer resident rows per lane block at ne=400
+    # [S, ceil(ne/32)] — ~600 fewer resident rows per lane block at ne=400.
+    # INVARIANT: the i16-pair packing requires x_q in [-32768, 32767].
+    # That holds because spectral_quantize clips to exactly that range
+    # (dsp/encoder.py quant_only, mirroring the reference's
+    # global_gain_limitation, spectral_quantization.rs:212-228) — if the
+    # quantizer's clip ever widens, this packing silently corrupts frames;
+    # see the matching comment at the clip site.
     nqp = -(-NT // 8) * 8
     xqp = (xq[:, 1::2] << 16) | (xq[:, 0::2] & 0xFFFF)
     xq_t = jnp.pad(xqp, ((0, 0), (0, nqp - NT))).T
@@ -699,9 +709,33 @@ def device_pack(cfg: Lc3Config, nbytes: int, fields: dict,
     return (head_b | tail_b).astype(jnp.uint8)
 
 
-def encode_bytes_step(cfg: Lc3Config, nbytes: int, state, pcm):
-    """Fully fused on-device encode: PCM [S, nf] -> frame bytes [S, nbytes]."""
+def encode_bytes_step(cfg: Lc3Config, nbytes: int, state, pcm,
+                      interpret: bool = False, lanes: int | None = None):
+    """Fully fused on-device encode: PCM [S, nf] -> frame bytes [S, nbytes].
+
+    interpret=True runs the pack kernel through the Pallas interpreter
+    (CPU meshes: multi-device evidence in __graft_entry__.dryrun_multichip
+    and tests; the analysis DSP takes its XLA formulations there) and
+    returns (state, payload, fields) instead of (state, payload): the
+    fields MUST be live outputs of the enclosing jit. On TPU the Mosaic
+    pallas_calls are opaque boundaries — every field materializes exactly
+    once before entering a kernel — but the interpreted kernel body is
+    plain traced ops, and XLA CPU then duplicates shared float producers
+    (gg, shaped-spectrum chains) into different fusions with different
+    fma-contraction choices, leaving e.g. x_q inconsistent with the
+    bit-model's emitted (cum,freq) operands. Measured round 5 at
+    8 k/7.5 ms/40 B: with fields dead, all 128 streams produced frames
+    that DECODE TO GARBAGE (A-vs-B PCM SNR down to -8.6 dB); with fields
+    exported, byte-exact vs the host packer. lax.optimization_barrier
+    does not survive XLA's simplifier (CLAUDE.md round-3 finding), so
+    output-liveness is the one robust pin. Callers must keep the returned
+    fields alive through their jit boundary (dropping them afterwards on
+    the host is fine)."""
     from ..dsp.encoder import encode_step
 
     state, fields = encode_step(cfg, nbytes, state, pcm, emit_pack=True)
-    return state, device_pack(cfg, nbytes, fields)
+    payload = device_pack(cfg, nbytes, fields, interpret=interpret,
+                          lanes=lanes)
+    if interpret:
+        return state, payload, fields
+    return state, payload

@@ -583,10 +583,15 @@ def _run_kernel(cfg: Lc3Config, nbytes: int, headwords, tailwords, side_rows,
     # 2.457->2.107 ms at 400B, S=2048). The old 8 MB analytic VMEM cap
     # over-predicted Mosaic's scoped-vmem demand and capped the kernel
     # at 512. (The pack kernel is the opposite: 2048 measured 24% SLOWER
-    # than 1024 — see pallas_pack.)
+    # than 1024 — see pallas_pack.) Unprobed TPU generations cap at 512
+    # (lanecaps.lane_cap) — Mosaic scoped-VMEM failures at trace-probed
+    # widths are not catchable at call time.
     if lanes is None:
+        from ..lanecaps import lane_cap
+
+        cap = lane_cap("parse")
         lanes = 128
-        while lanes < 2048 and S % (lanes * 2) == 0:
+        while lanes < cap and S % (lanes * 2) == 0:
             lanes *= 2
 
     x_t, res_t, tns_t, misc_t = pl.pallas_call(

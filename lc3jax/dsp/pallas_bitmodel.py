@@ -203,10 +203,14 @@ def bitmodel_table_part(c, g, sym, rate_flag: int, ne: int,
     # (-24%/-15%, device clock, bit-identical output). The old analytic
     # VMEM estimate predicted emit_pack at 2048 would not fit; like the
     # parse/pack pickers it over-predicted Mosaic's real demand — probe,
-    # don't estimate (CLAUDE.md round-4 lane-picker lesson).
+    # don't estimate (CLAUDE.md round-4 lane-picker lesson). Unprobed TPU
+    # generations cap at 512 (lanecaps.lane_cap).
     if lanes is None:
+        from ..lanecaps import lane_cap
+
+        cap = lane_cap("bitmodel")
         lanes = LANES
-        while lanes < 2048 and S % (lanes * 2) == 0:
+        while lanes < cap and S % (lanes * 2) == 0:
             lanes *= 2
 
     if lastnz is None:
