@@ -155,6 +155,26 @@ def main() -> None:
     # host-pipelined alternative (parse on host cores, DSP on device,
     # overlapped): bounded by the slower side
     pipelined_rtf = min(host_rtf, dec_rtf)
+
+    # ... and MEASURED: run the real serving loop
+    # (BatchDecoder.decode_stream(pipeline=True): prefetch thread parsing
+    # batch k+1 while the device runs batch k) over M batches and take the
+    # device-clock span of the whole window (first event start to last
+    # event end, idle gaps included — the honest pipelined number; host
+    # wall-clock is untrustworthy over the axon tunnel, CLAUDE.md).
+    from lc3jax.profiling import device_loop_span_ms
+    from lc3jax.serving import BatchDecoder
+
+    bd = BatchDecoder(cfg, n_streams, nbytes)
+    bd.decode_stream([batch_bytes], fetch=False)  # warm compile + caches
+    M = 24
+    span_ms = device_loop_span_ms(
+        lambda: bd.decode_stream([batch_bytes] * M, fetch=False,
+                                 pipeline=True)[-1]
+    )
+    pipelined_meas_rtf = (
+        M * n_streams * frame_seconds / (span_ms / 1e3) if span_ms else 0.0
+    )
     e2e_rtf = max(fused_rtf, pipelined_rtf)
 
     result = {
@@ -174,6 +194,9 @@ def main() -> None:
             "host_parse_x_realtime": round(host_rtf, 0),
             "host_pack_x_realtime": round(pack_rtf, 0),
             "host_pipelined_x_realtime": round(pipelined_rtf, 0),
+            "host_pipelined_measured_x_realtime": round(pipelined_meas_rtf, 0),
+            "host_pipelined_measured_span_ms": round(span_ms, 1),
+            "host_pipelined_measured_batches": M,
             "host_parse_native": use_native,
             "host_cores": os.cpu_count(),
             "loadavg_at_start": [round(x, 2) for x in load_at_start],

@@ -119,22 +119,79 @@ def make_sharded_decode_bytes_step(cfg: Lc3Config, nbytes: int, mesh: Mesh):
     )
 
 
-def make_sharded_encode_bytes_step(cfg: Lc3Config, nbytes: int, mesh: Mesh):
+def make_sharded_encode_bytes_step(cfg: Lc3Config, nbytes: int, mesh: Mesh,
+                                   interpret: bool = False,
+                                   lanes: int | None = None):
     """Sharded fully fused encode: PCM [S, nf] -> frame bytes [S, nbytes].
 
-    TPU meshes only: the pack stage is the Pallas range-encoder kernel
-    (coding/pallas_pack.py), which has no CPU formulation — host-pipelined
-    packing (make_sharded_encode_step + pack on host) covers CPU meshes."""
+    The pack stage is the Pallas range-encoder kernel
+    (coding/pallas_pack.py), so the step is wrapped in shard_map: each
+    device runs the whole kernel on its local [S/n, ...] shard with
+    per-shard grid/lane geometry (the supported way to run Pallas under a
+    mesh), instead of asking GSPMD to partition an opaque kernel call.
+    The local shard must still satisfy the kernel's S % 128 == 0 rule.
+
+    TPU meshes run the Mosaic kernel and the step returns
+    (state, payloads). interpret=True runs it through the Pallas
+    interpreter so CPU meshes can execute the path for real (multi-device
+    evidence in __graft_entry__.dryrun_multichip) and returns
+    (state, payloads, fields): the encoder fields must stay live through
+    the jit boundary — with the interpreted kernel body inlined as plain
+    ops, XLA CPU otherwise duplicates shared float producers into fusions
+    with different fma contraction and emits self-inconsistent (corrupt)
+    frames; see coding.pallas_pack.encode_bytes_step. Production CPU
+    serving still uses host-pipelined packing
+    (make_sharded_encode_step + pack on host)."""
     from .coding.pallas_pack import encode_bytes_step
 
     def step(state: EncoderState, pcm):
-        return encode_bytes_step(cfg, nbytes, state, pcm)
+        return encode_bytes_step(cfg, nbytes, state, pcm,
+                                 interpret=interpret, lanes=lanes)
 
+    spec = P("streams")
+    if interpret:
+        # the fields dict is not uniformly [S, ...]: pack_tables carries
+        # streams on axis 1 ([rows, S]) and three leaves are rank-0 mesh
+        # constants (nbits_bw, rate_flag, lpc_weighting) — derive each
+        # leaf's spec from its abstract shape at a nominal per-shard size
+        import jax.numpy as jnp
+
+        S_nom = 128 * mesh.devices.size
+        abs_out = jax.eval_shape(
+            step,
+            jax.eval_shape(lambda: encoder_init(cfg, S_nom)),
+            jax.ShapeDtypeStruct((S_nom, cfg.nf), jnp.int16),
+        )
+
+        def leaf_spec(leaf):
+            axis = next(
+                (i for i, d in enumerate(leaf.shape) if d == S_nom), None
+            )
+            if axis is None:
+                return P()  # mesh-constant scalar
+            return P(*([None] * axis), "streams")
+
+        out_specs = jax.tree.map(leaf_spec, abs_out)
+    else:
+        out_specs = (spec, spec)
+    # check_vma=False: the encoder DSP initializes several lax.scan carries
+    # with constants (e.g. tns_analysis_batch's zero-lattice state), which
+    # the varying-manual-axes checker rejects against the varying outputs;
+    # the computation is per-stream elementwise, so replication checking
+    # adds nothing here.
+    sharded = jax.shard_map(
+        step, mesh=mesh, in_specs=(spec, spec), out_specs=out_specs,
+        check_vma=False,
+    )
     s0 = _sharding(mesh, 0)
+    out_shardings = jax.tree.map(
+        lambda sp: NamedSharding(mesh, sp), out_specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
     return jax.jit(
-        step,
+        sharded,
         in_shardings=(s0, s0),
-        out_shardings=(s0, s0),
+        out_shardings=out_shardings,
         donate_argnums=(0,),
     )
 

@@ -24,6 +24,86 @@ def trace(log_dir: str = "/tmp/lc3jax-trace"):
         jax.profiler.stop_trace()
 
 
+def _device_module_events(trace_dir: str):
+    """Parse an xprof trace dir into the device lane's XLA-module events:
+    a sorted list of (start_us, dur_us) on the device's own clock."""
+    import glob
+    import gzip
+    import json
+    import os
+
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        return []
+    with gzip.open(max(paths, key=os.path.getmtime)) as f:
+        data = json.load(f)
+    ev = data["traceEvents"]
+    pids = {e["pid"]: e["args"]["name"] for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = next((p for p, n in pids.items() if "TPU" in n or "GPU" in n), None)
+    if dev is None:  # CPU backend: fall back to host lane totals
+        dev = next((p for p, n in pids.items() if "CPU" in n), None)
+    tids = {(e["pid"], e["tid"]): e["args"]["name"] for e in ev
+            if e.get("ph") == "M" and e.get("name") == "thread_name"}
+    mod_tid = next((t for (p, t), n in tids.items()
+                    if p == dev and n == "XLA Modules"), None)
+    if mod_tid is None:
+        return []
+    return sorted((e["ts"], e["dur"]) for e in ev if e.get("ph") == "X"
+                  and e["pid"] == dev and e["tid"] == mod_tid)
+
+
+def _fence(tree) -> None:
+    """Synchronize with the device queue via a real (tiny) D2H fetch —
+    on the axon relay block_until_ready does NOT fence execution."""
+    import numpy as _np
+
+    jax.block_until_ready(tree)
+    leaves = jax.tree_util.tree_leaves(tree)
+    if leaves:
+        _np.asarray(jax.device_get(leaves[-1].ravel()[:1]))
+
+
+def device_loop_span_ms(run_fn, trace_dir: str | None = None) -> float:
+    """Device-clock wall span of an arbitrary host-driven loop.
+
+    Fences the device queue, opens a trace, calls `run_fn()` (which must
+    return a jax tree whose last leaf is from the loop's final step), fences
+    again inside the trace, and returns last-event-end minus
+    first-event-start over the device lane's XLA modules, in ms.
+
+    Unlike device_step_ms (median per-module duration = pure device cost),
+    the SPAN includes device idle gaps where it waited on the host — which
+    is exactly the number for host+device pipelines (e.g.
+    serving.BatchDecoder.decode_stream(pipeline=True)): frames/span is the
+    real pipelined throughput, measured on the device's own clock, immune
+    to the axon tunnel's async-dispatch and D2H wall-time noise."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    _fence(jax.device_put(0))  # drain anything queued before the window
+    own_dir = trace_dir is None
+    if own_dir:
+        trace_dir = tempfile.mkdtemp(prefix="lc3jax-devspan-")
+    try:
+        jax.profiler.start_trace(trace_dir)
+        out = run_fn()
+        _fence(out)
+        _time.sleep(1.5)  # let the collector drain
+        jax.profiler.stop_trace()
+        evs = _device_module_events(trace_dir)
+        if not evs:
+            return 0.0
+        start = min(ts for ts, _ in evs)
+        end = max(ts + dur for ts, dur in evs)
+        return (end - start) / 1e3
+    finally:
+        if own_dir:
+            shutil.rmtree(trace_dir, ignore_errors=True)
+
+
 def device_step_ms(step_fn, init_carry, step_args, steps: int = 10,
                    trace_dir: str | None = None) -> float:
     """Ground-truth per-step device time from a profiler trace.

@@ -7,6 +7,13 @@ driver's environment: N virtual CPU devices) under an explicit wall-clock
 budget, so any cost regression fails CI instead of the round artifact.
 It also warms the persistent XLA compile cache with the dryrun's exact
 program keys, making subsequent driver runs finish in seconds-to-a-minute.
+
+Two-tier budget (round-5 tightening): the first run may be fully cold
+(single-core compile of the sharded programs, ~540 s allowance); a second
+run immediately after is warm by construction — every program was just
+persisted — and must finish fast. A compile-cost regression that hides
+inside the cold allowance (e.g. a program key that stops caching) fails
+the warm tier instead of a future round artifact.
 """
 
 import os
@@ -17,12 +24,15 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-# generous enough for a fully cold single-core compile of the three sharded
-# programs; a warm run takes ~1 minute (see __graft_entry__.dryrun_multichip)
-BUDGET_S = 540.0
+# generous enough for a fully cold single-core compile of the sharded
+# programs; a warm run takes ~40 s (see __graft_entry__.dryrun_multichip)
+BUDGET_COLD_S = 540.0
+# warm-cache bound: ~40 s measured on this host (round 4: 39.1 s), x3 for
+# host contention. Regressions that break program-key caching land here.
+BUDGET_WARM_S = 120.0
 
 
-def test_dryrun_multichip_within_budget():
+def _run_dryrun(timeout: float):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     env.pop("JAX_PLATFORMS", None)  # the entry point forces CPU itself
@@ -34,7 +44,7 @@ def test_dryrun_multichip_within_budget():
         env=env,
         capture_output=True,
         text=True,
-        timeout=BUDGET_S,
+        timeout=timeout,
     )
     elapsed = time.perf_counter() - t0
     assert proc.returncode == 0, (
@@ -42,4 +52,16 @@ def test_dryrun_multichip_within_budget():
         f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}"
     )
     assert "dryrun_multichip ok: 8-device stream mesh" in proc.stdout
-    assert elapsed < BUDGET_S
+    return elapsed
+
+
+def test_dryrun_multichip_within_budget():
+    cold = _run_dryrun(BUDGET_COLD_S)
+    assert cold < BUDGET_COLD_S
+    # the first run just persisted every program: this one is warm by
+    # construction and pins the steady-state driver cost
+    warm = _run_dryrun(BUDGET_COLD_S)
+    assert warm < BUDGET_WARM_S, (
+        f"warm dryrun took {warm:.0f}s (cold {cold:.0f}s); a program key "
+        "likely stopped hitting the persistent compile cache"
+    )

@@ -29,6 +29,16 @@ geometry/rate envelope (16 k/10 ms/60 B, 44.1 k/7.5 ms/100 B,
 drives lsb_mode on every frame): clean-frame field parity and byte-exact
 payloads vs the host implementations. Each config compiles two extra
 programs (~minutes cold).
+
+--full also runs the fused DECODE (kernels + DSP, not just parse/pack) at
+every envelope geometry over the 200-frame content-diverse corpus
+(tests/goldens/corpus.npz: speech-shaped noise, polyphonic tones,
+transients, near-silence, full-scale — tools/gen_corpus.py), recording
+per-geometry max-LSB and SNR (dB) vs the oracle PCM with asserted floors.
+This turns the single-geometry "11-LSB plateau, far below quantization
+noise" claim into a measured matrix: the device-vs-oracle SNR (>=55 dB
+floor) sits ~40 dB above the codec's own distortion on the same content
+(~10-22 dB vs input). Envelope per geometry in _DECODE_ENVELOPE.
 """
 
 from __future__ import annotations
@@ -39,6 +49,19 @@ import sys
 from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# per-geometry device-decode envelope over the content-diverse corpus:
+# max-LSB = measured plateau + margin (fma/OLA feedback, see
+# stage_attribution), SNR floor in dB vs the oracle PCM over the full
+# 200-frame stream. Measured on v5e (round 5): see TPU_PARITY.json.
+_DECODE_ENVELOPE = {
+    "48000_10ms_120": {"max_lsb": 12, "min_snr_db": 55.0},
+    "48000_10ms_20": {"max_lsb": 12, "min_snr_db": 55.0},
+    "48000_10ms_400": {"max_lsb": 12, "min_snr_db": 55.0},
+    "44100_7.5ms_100": {"max_lsb": 12, "min_snr_db": 55.0},
+    "16000_10ms_60": {"max_lsb": 8, "min_snr_db": 55.0},
+    "8000_10ms_40": {"max_lsb": 8, "min_snr_db": 55.0},
+}
 
 
 def main() -> None:
@@ -78,7 +101,12 @@ def main() -> None:
     _, pcm_all = decode_all(state, bytes_t)
     got = np.asarray(pcm_all)  # [T, S, nf]
     assert np.all(got == got[:, :1]), "lanes diverged on-device"
-    max_lsb = int(np.abs(got[:, 0].astype(int) - pcm_out.astype(int)).max())
+    err0 = got[:, 0].astype(np.int64) - pcm_out.astype(np.int64)
+    max_lsb = int(np.abs(err0).max())
+    snr0 = 10.0 * np.log10(
+        float(np.sum(pcm_out.astype(np.float64) ** 2))
+        / max(float(np.sum(err0.astype(np.float64) ** 2)), 1.0)
+    )
 
     # ---- on-device encode (scan) + native pack, decodability + exact rate
     estate = encoder_init(cfg, S)
@@ -189,6 +217,7 @@ def main() -> None:
         "device": str(jax.devices()[0]),
         "frames": T,
         "decode_max_lsb_vs_oracle": max_lsb,
+        "decode_snr_db_vs_oracle": round(snr0, 1),
         "stage_attribution": stage_attr,
         "encode_byte_exact_rate": round(n_exact / T, 3),
         "device_pack_byte_exact_rate": round(n_pack_exact / T, 3),
@@ -287,6 +316,46 @@ def main() -> None:
                 result["full"][key + "_S2048_maxlanes"] = {
                     "parse": bool(pok8), "pack": bool(kok8)}
                 result["pass"] = bool(result["pass"] and pok8 and kok8)
+
+    if "--full" in sys.argv:
+        # ---- fused DECODE fidelity matrix over the content-diverse corpus:
+        # per-geometry max-LSB + SNR vs the oracle PCM (VERDICT r4 item 1 —
+        # the reference pins integer PCM per config, lc3_decoder.rs:372-425)
+        corpus = np.load(os.path.join(os.path.dirname(__file__), "..",
+                                      "tests", "goldens", "corpus.npz"))
+        keys = sorted({k[: k.rfind("_pcm_in")] for k in corpus.files
+                       if k.endswith("_pcm_in")})
+        result["decode_matrix"] = {}
+        for key in keys:
+            fs_ = int(key.split("_")[0])
+            dur_ = (FrameDuration.MS7P5 if key.split("_")[1] == "7.5ms"
+                    else FrameDuration.MS10)
+            nb_ = int(key.split("_")[2])
+            c = Lc3Config.new(fs_, dur_)
+            pay = corpus[key + "_payloads"]
+            want = corpus[key + "_pcm_out"].astype(np.int64)
+            Td = pay.shape[0]
+            dstate = decoder_init(c, S)
+            bt = jnp.asarray(np.tile(pay[:, None, :], (1, S, 1)))
+
+            dec_all = jax.jit(lambda st, b, c=c, nb_=nb_: jax.lax.scan(
+                partial(decode_bytes_step, c, nb_), st, b))
+            _, pcm_c = dec_all(dstate, bt)
+            gotc = np.asarray(pcm_c)
+            assert np.all(gotc == gotc[:, :1]), f"{key}: lanes diverged"
+            errc = gotc[:, 0].astype(np.int64) - want
+            lsb_c = int(np.abs(errc).max())
+            sig_c = float(np.sum(want.astype(np.float64) ** 2))
+            snr_c = 10.0 * np.log10(
+                sig_c / max(float(np.sum(errc.astype(np.float64) ** 2)), 1.0))
+            env = _DECODE_ENVELOPE[key]
+            row_ok = lsb_c <= env["max_lsb"] and snr_c >= env["min_snr_db"]
+            result["decode_matrix"][key] = {
+                "frames": Td, "max_lsb": lsb_c,
+                "snr_db_vs_oracle": round(snr_c, 1),
+                "envelope": env, "pass": bool(row_ok),
+            }
+            result["pass"] = bool(result["pass"] and row_ok)
 
     out_path = next((a for a in sys.argv[1:] if not a.startswith("--")),
                     "TPU_PARITY.json")

@@ -162,13 +162,22 @@ def run_trace(kind: str, n_streams: int, steps: int, trace_dir: str) -> None:
         only = os.environ.get("LC3JAX_STAGE")
         if only:  # op-level breakdown for a single stage
             stages = [(n, f) for n, f in stages if n.startswith(only)]
+        def fence(tree):
+            # block_until_ready does not fence execution over the axon
+            # relay; a tiny real D2H fetch does (round-4 lesson: an
+            # unfenced sweep measured 26x-inflated module durations)
+            jax.block_until_ready(tree)
+            leaves = jax.tree_util.tree_leaves(tree)
+            if leaves:
+                np.asarray(jax.device_get(leaves[-1].ravel()[:1]))
+
         for name, fn in stages:
-            jax.block_until_ready(fn())  # compile
+            fence(fn())  # compile
         jax.profiler.start_trace(trace_dir)
         for name, fn in stages:
             for _ in range(steps):
                 out = fn()
-            jax.block_until_ready(out)
+            fence(out)  # each stage's events land before the next begins
         time.sleep(2)
         jax.profiler.stop_trace()
         if only:
