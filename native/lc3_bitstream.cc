@@ -742,15 +742,19 @@ static bool parse_tail(FrameCtx& f,
 
 // -------------------------------------------------------------- encoder
 
+// Inconsistent caller-supplied fields must fail per-frame, not scribble
+// past the payload row (the Rust reference panics on OOB; an exported C
+// ABI can't, so every write is guarded and `error` is checked after).
+#ifdef LC3_PACK_SLOWSIDE
+// A/B baseline: the original per-bit side writer (one guarded byte RMW
+// per backward bit). ~440 side bits/frame at 48k/150B made this the
+// packer's single largest cost — see the batched writer below.
 struct Writer {
   uint8_t* buf;
   int len;
   int bp = 0;
   int bp_side;
   int mask_side = 1;
-  // Inconsistent caller-supplied fields must fail per-frame, not scribble
-  // past the payload row (the Rust reference panics on OOB; an exported C
-  // ABI can't, so every write is guarded and `error` is checked after).
   bool error = false;
   explicit Writer(uint8_t* b, int n) : buf(b), len(n), bp_side(n - 1) {
     std::memset(b, 0, n);
@@ -778,11 +782,79 @@ struct Writer {
       mask >>= 1;
     }
   }
+  void final_flush() {}
   int nbits_side_written(int nbits) const {
     int lg = ilog2_floor(uint32_t(mask_side));
     return nbits - (8 * bp_side + 8 - lg);
   }
 };
+#else
+// Batched side writer: backward (side) bits accumulate LSB-first in a
+// 64-bit register and flush whole bytes to the tail, so a frame's ~440
+// side bits cost ~55 byte stores instead of ~440 guarded RMWs. Bit
+// layout is identical to the per-bit writer (each tail byte fills LSB
+// to MSB walking backward). Callers must invoke final_flush() once,
+// after RangeEnc::finish, to OR the pending partial byte into place —
+// that byte may legitimately be shared with the range coder's final
+// uint_forward (which writes only the top bits and never advances bp).
+// Overrun detection is equivalent for valid field bundles and at least
+// as strict for inconsistent ones: both pointers are monotone, so a
+// side/forward crossing caught per-bit by the old writer is caught at
+// flush (or final_flush) here, and the frame is zeroed the same way.
+struct Writer {
+  uint8_t* buf;
+  int len;
+  int bp = 0;
+  int side_bytes = 0;   // whole tail bytes already flushed
+  uint64_t acc = 0;     // pending side bits, next bit at 1 << nacc
+  int nacc = 0;
+  bool error = false;
+  explicit Writer(uint8_t* b, int n) : buf(b), len(n) {
+    std::memset(b, 0, n);
+  }
+  void flush_acc() {
+    while (nacc >= 8) {
+      int idx = len - 1 - side_bytes;
+      if (idx < 0 || idx < bp) { error = true; nacc = 0; return; }
+      buf[idx] = uint8_t(acc & 0xff);
+      acc >>= 8;
+      nacc -= 8;
+      side_bytes++;
+    }
+  }
+  void bool_backward(bool bit) {
+    acc |= uint64_t(bit) << nacc;
+    if (++nacc >= 48) flush_acc();
+  }
+  void uint_backward(uint32_t val, int nbits) {
+    // widest single field is 13 bits (SNS index_joint low half)
+    acc |= (uint64_t(val) & ((uint64_t(1) << nbits) - 1)) << nacc;
+    nacc += nbits;
+    if (nacc >= 48) flush_acc();
+  }
+  void byte_forward(uint8_t v) {
+    if (bp >= len) { error = true; return; }
+    buf[bp++] = v;
+  }
+  void uint_forward(uint32_t val, int nbits) {
+    if (bp >= len) { error = true; return; }
+    uint8_t top = uint8_t(0xff00 >> nbits);  // top nbits of the byte
+    buf[bp] = uint8_t((buf[bp] & ~top) | (val & top));
+  }
+  void final_flush() {
+    flush_acc();
+    if (error || nacc == 0) return;
+    int idx = len - 1 - side_bytes;
+    // idx == bp is the legal shared final byte; idx < bp is a crossing
+    if (idx < 0 || idx < bp) { error = true; return; }
+    buf[idx] |= uint8_t(acc & 0xff);
+  }
+  int nbits_side_written(int nbits) const {
+    (void)nbits;
+    return 8 * side_bytes + nacc;
+  }
+};
+#endif
 
 struct RangeEnc {
   uint32_t low = 0, range = 0x00ffffff;
@@ -925,6 +997,11 @@ static bool pack_one(const EncFields& f, int ne, uint8_t* out, int nbytes) {
   // stack buffer avoids a per-frame heap allocation
   uint8_t lsbs[1984];
   int n_lsbs = 0;
+  // nonzero-line positions, collected on the fly so the residual pass
+  // emits straight off this list instead of re-scanning all ne lines
+  // with a load+branch each (~400 lines at 48k)
+  int16_t nz[480];
+  int n_nz = 0;
   int c = 0;
   for (int k = 0; k < f.lastnz_trunc; k += 2) {
     int t = c + f.rate_flag + (k > ne / 2 ? 256 : 0);
@@ -959,8 +1036,11 @@ static bool pack_one(const EncFields& f, int ne, uint8_t* out, int nbytes) {
       lsbs[n_lsbs++] = lsb1;
       if (b_lsb == 0 && f.x_q[k + 1] != 0) lsbs[n_lsbs++] = f.x_q[k + 1] > 0 ? 0 : 1;
     }
-    if (a_lsb > 0) w.bool_backward(f.x_q[k] <= 0);
-    if (b_lsb > 0) w.bool_backward(f.x_q[k + 1] <= 0);
+    if (a_lsb > 0) { w.bool_backward(f.x_q[k] <= 0); nz[n_nz++] = int16_t(k); }
+    if (b_lsb > 0) {
+      w.bool_backward(f.x_q[k + 1] <= 0);
+      nz[n_nz++] = int16_t(k + 1);
+    }
     lev = std::min(lev, 3);
     int tn = lev <= 1 ? 1 + (int(a) + int(b)) * (lev + 1) : 12 + lev;
     c = (c & 15) * 16 + tn;
@@ -971,10 +1051,16 @@ static bool pack_one(const EncFields& f, int ne, uint8_t* out, int nbytes) {
   int nres_enc = std::max(0, nbits - (nbits_side + nbits_ari));
   if (!f.lsb_mode) {
     // res_bits is spectrally aligned (bit for line k at index k); emit in
-    // nonzero-line order, which is how the decoder consumes them
+    // nonzero-line order, which is how the decoder consumes them. The nz
+    // list covers every nonzero line below lastnz_trunc; the defensive
+    // tail scan matches the old full-ne scan should a caller hand x_q
+    // with nonzeros past the truncation point (a valid encoder never
+    // does — quantization zeroes them).
     int n = std::min(nres_enc, f.n_res);
     int emitted = 0;
-    for (int k = 0; k < ne && emitted < n; k++) {
+    for (int i = 0; i < n_nz && emitted < n; i++, emitted++)
+      w.bool_backward(f.res_bits[nz[i]] != 0);
+    for (int k = f.lastnz_trunc; k < ne && emitted < n; k++) {
       if (f.x_q[k] != 0) {
         w.bool_backward(f.res_bits[k] != 0);
         emitted++;
@@ -985,6 +1071,7 @@ static bool pack_one(const EncFields& f, int ne, uint8_t* out, int nbytes) {
     for (int i = 0; i < n; i++) w.bool_backward(lsbs[i] == 1);
   }
   st.finish(w);
+  w.final_flush();
   if (w.error) { std::memset(out, 0, nbytes); return false; }
   return true;
 }
