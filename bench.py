@@ -116,7 +116,16 @@ def main() -> None:
     enc_ms = device_step_ms(estep, estate, (pcm_dev,), steps=10)
     enc_s = enc_ms / 1e3
     enc_rtf = n_streams * frame_seconds / enc_s
-    estate, fields = estep(estate, pcm_dev)
+    # host-pack fields come from the flattened-output jit (the [S, ne]
+    # outputs' tiled device layout fetches as non-contiguous host views and
+    # the packer's per-call ascontiguousarray copy cost ~35%; rank-1
+    # outputs fetch dense — see serving.BatchEncoder._get_step)
+    def estep_flat(state, pcm):
+        st, f = encode_step(cfg, nbytes, state, pcm)
+        return st, dict(f, x_q=f["x_q"].reshape(-1),
+                        residual_bits=f["residual_bits"].reshape(-1))
+
+    estate, fields = jax.jit(estep_flat)(estate, pcm_dev)
     jax.block_until_ready((estate, fields))
 
     # ---- host pack (encoder side)

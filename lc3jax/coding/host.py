@@ -124,6 +124,9 @@ def pack_frames(cfg: Lc3Config, fields: dict, nbytes: int) -> list[bytes]:
     from ..ref.bitstream_enc import BitstreamEncoder
 
     f = {k: np.asarray(v) for k, v in fields.items()}
+    for k in ("x_q", "residual_bits"):  # may arrive flattened (see native.py)
+        if f[k].ndim == 1:
+            f[k] = f[k].reshape(-1, cfg.ne)
     S = f["x_q"].shape[0]
     out = []
     be = BitstreamEncoder(cfg.ne)

@@ -128,8 +128,17 @@ def pack_frames_native(cfg: Lc3Config, fields: dict, nbytes: int,
     lib = load()
     assert lib is not None, "native bitstream library not built"
     f = {k: np.asarray(v) for k, v in fields.items()}
-    S = f["x_q"].shape[0]
     ne = cfg.ne
+    # x_q / residual_bits may arrive flattened to rank-1: encode-step jits
+    # that feed the host packer return them reshaped (serving.BatchEncoder)
+    # because a rank-1 jit output always fetches dense, while the [S, ne]
+    # output's device layout is padded/tiled and its host view is
+    # non-contiguous — the per-call ascontiguousarray copy of ~4 MB cost
+    # ~35% of the whole pack step (measured round 5: 3,053x -> 4,362x/core)
+    for k in ("x_q", "residual_bits"):
+        if f[k].ndim == 1:
+            f[k] = f[k].reshape(-1, ne)
+    S = f["x_q"].shape[0]
     out = np.zeros((S, nbytes), np.uint8)
     i32 = lambda k: np.ascontiguousarray(f[k], np.int32)
     u8 = lambda k: np.ascontiguousarray(f[k], np.uint8)

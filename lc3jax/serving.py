@@ -292,9 +292,20 @@ class BatchEncoder:
                     partial(encode_bytes_step, self.cfg, nbytes)
                 )
             else:
-                self._steps[nbytes] = jax.jit(
-                    partial(encode_step, self.cfg, nbytes)
-                )
+                def step(state, pcm, _nb=nbytes):
+                    st, f = encode_step(self.cfg, _nb, state, pcm)
+                    # flatten the two big arrays so they leave the program
+                    # in a dense rank-1 layout: the [S, ne] outputs' tiled
+                    # device layout fetches as non-contiguous host views,
+                    # and the packers' per-call ascontiguousarray copy was
+                    # ~35% of the host pack step (round 5). The on-device
+                    # relayout is ~us at HBM bandwidth; the packers accept
+                    # rank-1 and reshape for free.
+                    f = dict(f, x_q=f["x_q"].reshape(-1),
+                             residual_bits=f["residual_bits"].reshape(-1))
+                    return st, f
+
+                self._steps[nbytes] = jax.jit(step)
         return self._steps[nbytes]
 
     def encode(self, pcm: np.ndarray, nbytes: int | None = None) -> np.ndarray:

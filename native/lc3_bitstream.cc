@@ -1172,8 +1172,34 @@ int lc3_parse_frames(const uint8_t* payloads, int S, int nbytes, int fs_ind,
                              pitch_index + si);
         if (!ok) {
           bad_frame[si] = 1;
-          // zero the outputs the device consumes for PLC lanes
+          // Zero EVERY per-stream output, not just the spectrum: the
+          // Python binding reuses output buffer rings across calls
+          // (coding/native.py), so any field parse_tail did not reach
+          // before failing would otherwise leak a PREVIOUS batch's value
+          // into this frame's row. The decoder's PLC path ignores bad
+          // lanes, but the parse API contract (and the differential
+          // oracle, which zeroes all fields on bad frames) requires
+          // defined outputs. Caught by
+          // tests/test_native_bitstream.py::test_parse_pair_loop_drain_paths
+          // flaking only when other suites had warmed the buffer ring.
           std::memset(x + size_t(si) * ne, 0, sizeof(int32_t) * ne);
+          std::memset(residual_bits + size_t(si) * ne, 0, size_t(ne));
+          std::memset(rc_i + size_t(si) * 16, 0, sizeof(int32_t) * 16);
+          std::memset(sns_y + size_t(si) * 16, 0, sizeof(int32_t) * 16);
+          rc_order[size_t(si) * 2] = rc_order[size_t(si) * 2 + 1] = 0;
+          lsb_mode[si] = 0;
+          gg_ind[si] = 0;
+          bandwidth[si] = 0;
+          noise_factor[si] = 0;
+          nf_seed[si] = 0;
+          zero_frame[si] = 0;
+          n_residual[si] = 0;
+          sns_shape[si] = 0;
+          sns_gind[si] = 0;
+          sns_ind_lf[si] = 0;
+          sns_ind_hf[si] = 0;
+          ltpf_active[si] = 0;
+          pitch_index[si] = 0;
           bad_counts[tid]++;
         } else {
           bad_frame[si] = 0;
