@@ -163,15 +163,25 @@ def make_sharded_encode_bytes_step(cfg: Lc3Config, nbytes: int, mesh: Mesh,
             jax.ShapeDtypeStruct((S_nom, cfg.nf), jnp.int16),
         )
 
-        def leaf_spec(leaf):
-            axis = next(
-                (i for i, d in enumerate(leaf.shape) if d == S_nom), None
-            )
-            if axis is None:
+        def leaf_spec(path, leaf):
+            # explicit axis rules (not shape-sniffing: a non-stream dim
+            # that happens to equal S_nom must not silently mis-shard):
+            # quant_pack_tables is the one stream-MINOR leaf ([rows, S]);
+            # rank-0 leaves are mesh constants (nbits_bw, rate_flag,
+            # lpc_weighting); everything else is stream-major [S, ...].
+            name = next((k.key for k in path
+                         if isinstance(k, jax.tree_util.DictKey)), None)
+            if name == "quant_pack_tables":
+                assert leaf.shape[1] == S_nom, leaf.shape
+                return P(None, "streams")
+            if leaf.ndim == 0:
                 return P()  # mesh-constant scalar
-            return P(*([None] * axis), "streams")
+            assert leaf.shape[0] == S_nom, (
+                f"{name or path}: expected stream-major [S, ...] leaf, "
+                f"got {leaf.shape}")
+            return P("streams")
 
-        out_specs = jax.tree.map(leaf_spec, abs_out)
+        out_specs = jax.tree_util.tree_map_with_path(leaf_spec, abs_out)
     else:
         out_specs = (spec, spec)
     # check_vma=False: the encoder DSP initializes several lax.scan carries

@@ -167,6 +167,10 @@ def main() -> None:
         (6000 * np.sin(2 * np.pi * 97 * t)).astype(np.int16),
     ]
     fields, payloads = oracle_fields(cfg, nbytes, contents)
+    assert n_streams % len(contents) == 0, (
+        f"n_streams={n_streams} must be a multiple of {len(contents)}: the "
+        "field arrays are tiled whole-content-set, and passing a larger S "
+        "to lc3_pack_frames would read past them")
     reps = n_streams // len(contents)
     tiled = {k: (np.ascontiguousarray(np.tile(v, (reps,) + (1,) * (v.ndim - 1)))
                  if isinstance(v, np.ndarray) else v)
